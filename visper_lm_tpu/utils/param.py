@@ -1,0 +1,122 @@
+"""Parameter-tree conventions and layer primitives.
+
+The framework uses explicit pytrees of jnp arrays (nested dicts) rather than a module
+system: params are first-class so pjit shardings, HF imports, optimizer param groups
+and surgical freezing are all plain tree operations.
+
+Conventions:
+  * Linear:    {"kernel": (in, out)[, "bias": (out,)]}  — kernel is input-major so
+               y = x @ kernel; HF torch weights (out, in) are transposed at import.
+  * LayerNorm: {"scale": (d,), "bias": (d,)}
+  * RMSNorm:   {"scale": (d,)}
+  * Embedding: {"embedding": (vocab, d)}
+  * Stacked decoder blocks: every leaf gets a leading (num_layers,) axis for lax.scan.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def _as_dtype(dtype) -> jnp.dtype:
+    return jnp.dtype(dtype)
+
+
+def init_linear(
+    key: jax.Array,
+    in_dim: int,
+    out_dim: int,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+    scale: Optional[float] = None,
+) -> Params:
+    if scale is None:
+        scale = 1.0 / math.sqrt(in_dim)
+    kernel = jax.random.uniform(
+        key, (in_dim, out_dim), dtype=jnp.float32, minval=-scale, maxval=scale
+    ).astype(dtype)
+    p: Params = {"kernel": kernel}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype=dtype)
+    return p
+
+
+def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
+    y = jnp.dot(x, p["kernel"], precision=precision)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def init_layernorm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype=dtype), "bias": jnp.zeros((dim,), dtype=dtype)}
+
+
+def layernorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    # Normalize in f32 for stability regardless of activation dtype.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_rmsnorm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype=dtype)}
+
+
+def rmsnorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_embedding(key: jax.Array, vocab: int, dim: int, dtype=jnp.float32) -> Params:
+    emb = jax.random.normal(key, (vocab, dim), dtype=jnp.float32) * 0.02
+    return {"embedding": emb.astype(dtype)}
+
+
+def embed(p: Params, ids: jax.Array) -> jax.Array:
+    return jnp.take(p["embedding"], ids, axis=0)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+}
+
+
+def count_params(tree: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+
+def tree_cast(tree: Params, dtype) -> Params:
+    dt = _as_dtype(dtype)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+def stack_layer_params(layer_params: Sequence[Params]) -> Params:
+    """Stack per-layer trees into one tree with a leading layer axis (for lax.scan)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layer_params)
+
+
+def split_keys(key: jax.Array, n: int) -> Sequence[jax.Array]:
+    return jax.random.split(key, n)
