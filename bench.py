@@ -1,0 +1,180 @@
+"""Benchmark: PT-stage (distillation) train-step throughput, examples/sec/chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes NO throughput numbers (BASELINE.md: BASELINE.json.published={})
+and its MI300X recipe cannot run here, so vs_baseline is measured against the value
+recorded in bench_baseline.json (committed at the first real-TPU measurement); later
+rounds show progress as a ratio >= 1.0.
+
+Workload: one full PT-stage training step — vision tower (CLIP-ViT-L topology) +
+projector + 1B-scale decoder (bf16, Pallas flash attention, remat) + task tokens +
+all three distillation heads + NTP + smooth-L1 + contrastive losses + AdamW update
+on the trainable subset — jitted as a single graph, batch 8 x 2048 tokens per chip.
+
+Usage: python bench.py [--smoke] [--steps N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_bench_cfg(smoke: bool):
+    from visper_lm_tpu.config import (
+        CLIP_VIT_L_336,
+        DecoderConfig,
+        ProjectorConfig,
+        VLMConfig,
+        make_distill_config,
+        tiny_test_vlm,
+    )
+
+    if smoke:
+        return tiny_test_vlm(distill=True)
+
+    decoder = DecoderConfig(
+        vocab_size=32064,
+        hidden_size=2048,
+        num_layers=16,
+        num_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        mlp_dim=5632,
+        rope_theta=10000.0,
+        max_seq_len=2048,
+        family="llama",
+        dtype="bfloat16",
+    )
+    return VLMConfig(
+        decoder=decoder,
+        vision=CLIP_VIT_L_336,
+        projector=ProjectorConfig(input_dim=1024, output_dim=2048),
+        distill=make_distill_config(),  # gen-depth-seg @ default layers/dims
+        conv_template="llava_llama_3",
+        num_sys_tokens=38,
+        num_image_tokens=576,
+    )
+
+
+def build_batch(cfg, batch_size: int, seq_len: int):
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan, collate_plans
+
+    rng = np.random.default_rng(0)
+    n_tasks = len(cfg.distill.task_order())
+    plans = []
+    for b in range(batch_size):
+        text_len = int(rng.integers(24, 48))
+        ids = (
+            list(rng.integers(3, cfg.decoder.vocab_size - 10, size=cfg.num_sys_tokens))
+            + [IMAGE_TOKEN_INDEX]
+            + list(rng.integers(3, cfg.decoder.vocab_size - 10, size=text_len))
+        )
+        labels = [IGNORE_INDEX] * (cfg.num_sys_tokens + 1) + ids[cfg.num_sys_tokens + 1 :]
+        plans.append(
+            build_splice_plan(
+                ids, labels, seq_len,
+                num_image_tokens=cfg.num_image_tokens,
+                num_task_tokens=cfg.distill.num_task_tokens,
+                num_tasks=n_tasks,
+            )
+        )
+    img = rng.normal(size=(batch_size, cfg.vision.image_size, cfg.vision.image_size, 3))
+    batch = collate_plans(plans, images=img.astype(np.float32))
+    for tcfg in cfg.distill.tasks:
+        batch[f"{tcfg.task}_target"] = rng.normal(
+            size=(batch_size, tcfg.target_tokens, tcfg.target_dim)
+        ).astype(np.float32)
+        batch[f"{tcfg.task}_mask"] = np.ones((batch_size,), np.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--seq", type=int, default=2048)
+    args = parser.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from visper_lm_tpu.config import tiny_test_vlm
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.parallel.mesh import make_mesh
+    from visper_lm_tpu.train.optimizer import OptimizerConfig
+    from visper_lm_tpu.train.train_step import make_train_step, shard_batch
+
+    cfg = build_bench_cfg(args.smoke)
+    batch_size = 4 if args.smoke else args.batch
+    seq_len = 64 if args.smoke else args.seq
+
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    batch = build_batch(cfg, batch_size, seq_len)
+
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=1000, stage="pretrain")
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    with mesh:
+        step_fn, state, _ = make_train_step(
+            cfg, opt_cfg, params, mesh, use_pallas=on_tpu
+        )
+        dbatch = shard_batch(batch, mesh)
+
+        # warmup / compile
+        state, metrics = step_fn(state, dbatch)
+        _ = float(metrics["loss"])  # host sync
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, dbatch)
+        loss = float(metrics["loss"])  # host sync forces completion
+        dt = (time.perf_counter() - t0) / args.steps
+
+    value = batch_size / dt
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    vs_baseline = 1.0
+    if not args.smoke:
+        if os.path.exists(baseline_path):
+            base = json.load(open(baseline_path))
+            if base.get("value", 0) > 0:
+                vs_baseline = value / base["value"]
+        else:
+            json.dump(
+                {"metric": "pt_train_step_examples_per_sec_per_chip", "value": value},
+                open(baseline_path, "w"),
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "pt_train_step_examples_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,9 @@ exactly as they would on an 8-chip TPU slice (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment presets JAX_PLATFORMS=axon (a tunneled real TPU) via a
+# sitecustomize on PYTHONPATH; tests must force CPU unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The sitecustomize imports jax before this file runs, so the env var alone is
+# too late — force the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: scan-based decoder compiles dominate test wall time.
 jax.config.update("jax_compilation_cache_dir", "/tmp/visper_jax_cache")

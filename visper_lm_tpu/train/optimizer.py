@@ -1,0 +1,146 @@
+"""Optimizer: AdamW with per-group learning rates and stage freeze policies.
+
+Parity surface:
+  * separate mm_projector_lr / mm_vision_lr param groups
+    (reference LLaVATrainer.create_optimizer, llava_trainer.py:890-995)
+  * stage freeze policies (ola_vlm_train.py / train.py):
+      - PT ("pretrain"): only mm_projector + task tokens + distill heads +
+        logit scales train (tune_mm_mlp_adapter=True, pretrain.sh:31; teachers and
+        trunk frozen, ola_vlm_train.py:1247-1266)
+      - IFT ("finetune"): everything except the vision tower trains
+      - VPT: vision tower unfrozen too (unfreeze_mm_vision_tower)
+      - probe: only probe heads train (probe_dsg_train.py:1021)
+  * cosine schedule with linear warmup_ratio 0.03, weight_decay 0 (pretrain.sh:45-48)
+  * no weight decay on norms/biases (HF Trainer default decay exclusions)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 1e-3
+    mm_projector_lr: Optional[float] = None
+    mm_vision_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    stage: str = "pretrain"  # pretrain | finetune | vpt | probe
+
+
+# path-regex -> group; first match wins
+_STAGE_TRAINABLE: Dict[str, Tuple[str, ...]] = {
+    # PT: adapter + task tokens + heads (+ contrastive scales)
+    "pretrain": (
+        r"^mm_projector/",
+        r"^special_tokens/",
+        r"^heads/",
+        r"^logit_scales/",
+    ),
+    # IFT: everything except the vision tower
+    "finetune": (r"^(?!vision_tower/).*",),
+    # VPT: everything (vision tower unfrozen)
+    "vpt": (r".*",),
+    # probing: heads only, whole trunk frozen
+    "probe": (r"^heads/", r"^probes/", r"^logit_scales/"),
+}
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def trainable_mask(params: Any, stage: str) -> Any:
+    patterns = _STAGE_TRAINABLE[stage]
+
+    def assign(path, leaf):
+        p = _path_str(path)
+        return any(re.search(pat, p) for pat in patterns)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def lr_group_labels(params: Any, cfg: OptimizerConfig, stage: str) -> Any:
+    """Label tree: frozen | projector | vision | base."""
+    mask = trainable_mask(params, stage)
+
+    def assign(path, leaf, trainable):
+        if not trainable:
+            return "frozen"
+        p = _path_str(path)
+        if cfg.mm_projector_lr is not None and p.startswith("mm_projector/"):
+            return "projector"
+        if cfg.mm_vision_lr is not None and p.startswith("vision_tower/"):
+            return "vision"
+        return "base"
+
+    return jax.tree_util.tree_map_with_path(assign, params, mask)
+
+
+def _decay_mask(params: Any) -> Any:
+    """No weight decay on 1-D params (norm scales, biases) and scalars."""
+
+    def assign(path, leaf):
+        p = _path_str(path)
+        if getattr(leaf, "ndim", 0) <= 1:
+            return False
+        if "norm" in p or p.endswith("/bias"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def cosine_schedule(cfg: OptimizerConfig, peak_lr: float) -> optax.Schedule:
+    warmup = max(int(cfg.warmup_ratio * cfg.total_steps), 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup,
+        decay_steps=max(cfg.total_steps, warmup + 1),
+        end_value=0.0,
+    )
+
+
+def make_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransformation:
+    def adamw(lr: float) -> optax.GradientTransformation:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(
+                learning_rate=cosine_schedule(cfg, lr),
+                b1=cfg.b1,
+                b2=cfg.b2,
+                eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+                mask=_decay_mask,  # callable: evaluated on the (possibly masked) tree
+            ),
+        )
+
+    labels = lr_group_labels(params, cfg, cfg.stage)
+    transforms = {
+        "base": adamw(cfg.learning_rate),
+        "projector": adamw(cfg.mm_projector_lr or cfg.learning_rate),
+        "vision": adamw(cfg.mm_vision_lr or cfg.learning_rate),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.multi_transform(transforms, labels)

@@ -1,0 +1,203 @@
+"""The single jitted train step.
+
+TPU-first core design (SURVEY.md §7): the reference runs teacher featurization,
+token splicing and logging in Python inside forward (call stack §3.1); here the whole
+loss — NTP + distillation heads + global-batch contrastive — is ONE compiled graph
+over the ('data', 'model') mesh. Teacher targets are computed by batched jitted
+functions (models/teachers) or supplied precomputed in the batch; the collator did the
+splice planning on host.
+
+ZeRO-2-equivalent behavior falls out of sharding the optimizer state along 'data'
+(parallel/sharding.zero_pspec): XLA reduce-scatters gradients into the sharded update
+and all-gathers params where needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from visper_lm_tpu.config import VLMConfig
+from visper_lm_tpu.models.vlm import (
+    predict_task_embeddings,
+    vlm_forward,
+)
+from visper_lm_tpu.parallel import sharding as shd
+from visper_lm_tpu.parallel.mesh import DATA_AXIS
+from visper_lm_tpu.train.losses import distill_losses, ntp_loss
+from visper_lm_tpu.train.optimizer import OptimizerConfig, make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    def replace(self, **kw) -> "TrainState":
+        return dataclasses.replace(self, **kw)
+
+
+def init_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def make_loss_fn(
+    cfg: VLMConfig,
+    *,
+    teacher_fn: Optional[Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]] = None,
+    teacher_params: Any = None,
+    remat: bool = True,
+    use_pallas: Optional[bool] = None,
+):
+    """Loss over one (global) batch.
+
+    batch: splice plan arrays + images (+ per-task masks `{task}_mask` (B,)) and
+    either precomputed `{task}_target` arrays or teacher inputs for teacher_fn.
+    """
+
+    def loss_fn(params, batch):
+        out = vlm_forward(params, cfg, batch, remat=remat, use_pallas=use_pallas)
+        text_loss = ntp_loss(out["logits"], batch["labels"])
+        metrics: Dict[str, jax.Array] = {"text_loss": text_loss}
+        total = text_loss
+
+        if cfg.distill is not None and out["taps"] is not None:
+            preds = predict_task_embeddings(params, cfg, out["taps"], out["tap_layers"])
+
+            targets: Dict[str, jax.Array] = {}
+            for tcfg in cfg.distill.tasks:
+                key = f"{tcfg.task}_target"
+                if key in batch:
+                    targets[tcfg.task] = batch[key]
+            if teacher_fn is not None:
+                # frozen teachers run inside the same compiled step, batched
+                computed = teacher_fn(teacher_params, batch)
+                targets.update(
+                    {k: jax.lax.stop_gradient(v) for k, v in computed.items()}
+                )
+
+            task_masks = {
+                tcfg.task: batch.get(
+                    f"{tcfg.task}_mask",
+                    jnp.ones((batch["labels"].shape[0],), dtype=jnp.float32),
+                )
+                for tcfg in cfg.distill.tasks
+            }
+            dloss, dmetrics = distill_losses(
+                cfg, preds, targets, task_masks, params.get("logit_scales")
+            )
+            total = total + dloss
+            metrics.update(dmetrics)
+
+        metrics["loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    cfg: VLMConfig,
+    opt_cfg: OptimizerConfig,
+    params: Any,
+    mesh: Mesh,
+    *,
+    teacher_fn=None,
+    teacher_params=None,
+    remat: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[Callable, TrainState, Any]:
+    """Build (jitted_step, initial sharded TrainState, state shardings).
+
+    Only STAGE-TRAINABLE params live in the TrainState; frozen params (teachers,
+    frozen trunk in PT/probe stages) are a separate jit input that never gets grads,
+    optimizer state, or donated buffers — the memory shape the reference gets from
+    requires_grad_(False) under ZeRO. The returned step signature is
+    step(state, frozen_params, batch) -> (state, metrics); state is donated.
+    """
+    from visper_lm_tpu.train.optimizer import trainable_mask
+    from visper_lm_tpu.utils.param import merge_params, partition_params
+
+    mask = trainable_mask(params, opt_cfg.stage)
+    trainable, frozen = partition_params(params, mask)
+
+    tx = make_optimizer(trainable, opt_cfg)
+    base_loss_fn = make_loss_fn(
+        cfg,
+        teacher_fn=teacher_fn,
+        teacher_params=teacher_params,
+        remat=remat,
+        use_pallas=use_pallas,
+    )
+
+    def loss_fn(trainable_params, frozen_params, batch):
+        full = merge_params(trainable_params, frozen_params)
+        return base_loss_fn(full, batch)
+
+    # --- shardings ---
+    all_specs = shd.param_pspecs(params)
+    train_specs, frozen_specs = partition_params(all_specs, mask)
+    train_shardings = shd.to_named(train_specs, mesh)
+    frozen_shardings = shd.to_named(frozen_specs, mesh)
+
+    opt_shape = jax.eval_shape(tx.init, trainable)
+    opt_specs = shd.opt_state_pspecs(trainable, train_specs, mesh, opt_shape)
+    opt_shardings = shd.to_named(opt_specs, mesh)
+
+    state_shardings = TrainState(
+        params=train_shardings,
+        opt_state=opt_shardings,
+        step=NamedSharding(mesh, P()),
+    )
+
+    trainable = jax.device_put(trainable, train_shardings)
+    frozen = jax.device_put(frozen, frozen_shardings)
+    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
+    state = TrainState(
+        params=trainable,
+        opt_state=opt_state,
+        step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
+    )
+
+    def step_fn(state: TrainState, frozen_params, batch: Dict[str, jax.Array]):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen_params, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, metrics
+
+    jitted = jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        out_shardings=(state_shardings, None),
+    )
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        return jitted(state, frozen, batch)
+
+    return step, state, state_shardings
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Host numpy batch -> device arrays sharded along 'data'."""
+    specs = shd.batch_pspecs(batch)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        batch,
+        specs,
+    )

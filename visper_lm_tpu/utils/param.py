@@ -120,3 +120,23 @@ def stack_layer_params(layer_params: Sequence[Params]) -> Params:
 
 def split_keys(key: jax.Array, n: int) -> Sequence[jax.Array]:
     return jax.random.split(key, n)
+
+
+def partition_params(params: Params, mask: Params) -> tuple:
+    """Split a param tree into (trainable, frozen) by a per-leaf bool mask.
+
+    The two trees keep the full structure with None at the other side's positions;
+    merge with merge_params. Differentiating only the trainable tree means XLA never
+    materializes grads or optimizer state for frozen teachers/trunks (the reference
+    relies on requires_grad_(False) + DeepSpeed for this).
+    """
+    trainable = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def merge_params(a: Params, b: Params) -> Params:
+    """Inverse of partition_params: take the non-None leaf at each position."""
+    return jax.tree_util.tree_map(
+        lambda x, y: y if x is None else x, a, b, is_leaf=lambda v: v is None
+    )
