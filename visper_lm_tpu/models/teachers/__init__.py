@@ -1,0 +1,115 @@
+"""Frozen teacher stack: batched, jitted target computation.
+
+The reference featurizes teachers per-image in Python inside model.forward
+(_get_gen_feats / _get_dav2_feats / _get_seg_targets, base_ola_vlm.py:323-397 — the #1
+hot spot in SURVEY.md §3.1). Here each teacher is a batched JAX function and
+`make_teacher_fn` bundles them into one callable that runs INSIDE the compiled train
+step; the host collator only supplies the three preprocessed image tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visper_lm_tpu.config import CLIP_VIT_H_224, DINOV2_VIT_L, VLMConfig
+from visper_lm_tpu.models.teachers import dinov2 as dinov2_lib
+from visper_lm_tpu.models.teachers import dpt as dpt_lib
+from visper_lm_tpu.models.teachers import swin as swin_lib
+from visper_lm_tpu.models.teachers import unclip as unclip_lib
+from visper_lm_tpu.utils.param import tree_cast
+
+
+class TeacherConfigs:
+    """Teacher architecture configs (defaults = the reference teacher zoo).
+    Static/hashable — closed over by teacher_fn, never traced."""
+
+    def __init__(self, dinov2=None, clip_h=None, swin=None):
+        self.dinov2 = dinov2 or DINOV2_VIT_L
+        self.clip_h = clip_h or CLIP_VIT_H_224
+        self.swin = swin or swin_lib.SWIN_L
+
+
+def init_teachers(
+    key: jax.Array,
+    cfg: VLMConfig,
+    dtype=jnp.bfloat16,
+    tcfgs: Optional[TeacherConfigs] = None,
+) -> Dict[str, Any]:
+    """Random-init teacher params (real use imports pretrained weights)."""
+    d = cfg.distill
+    assert d is not None
+    tcfgs = tcfgs or TeacherConfigs()
+    ks = jax.random.split(key, 4)
+    teachers: Dict[str, Any] = {}
+    tasks = {t.task for t in d.tasks}
+    if "depth" in tasks:
+        teachers["dinov2"] = tree_cast(dinov2_lib.init_dinov2(ks[0], tcfgs.dinov2), dtype)
+        teachers["dpt"] = tree_cast(dpt_lib.init_dpt_head(ks[1], tcfgs.dinov2.hidden_size), dtype)
+    if "gen" in tasks:
+        teachers["clip_h"] = tree_cast(unclip_lib.init_clip_h(ks[2], tcfgs.clip_h), dtype)
+    if "seg" in tasks:
+        teachers["swin"] = tree_cast(swin_lib.init_swin(ks[3], tcfgs.swin), dtype)
+    return teachers
+
+
+def make_teacher_fn(
+    cfg: VLMConfig, tcfgs: Optional[TeacherConfigs] = None
+) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    """Returns teacher_fn(teacher_params, batch) -> {task: target} for the train step.
+
+    Expects batch keys: depth_images (B,336,336,3), gen_images (B,224,224,3),
+    seg_images (B,768,768,3) — produced by data/dataset.py via the per-teacher
+    preprocessing (each teacher has its own pixel pipeline, SURVEY.md §7 hard part 3).
+    """
+    d = cfg.distill
+    assert d is not None
+    tcfgs = tcfgs or TeacherConfigs()
+    tasks = {t.task for t in d.tasks}
+
+    def teacher_fn(tp: Dict[str, Any], batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        targets: Dict[str, jax.Array] = {}
+        if "depth" in tasks and "depth_images" in batch:
+            targets["depth"] = dinov2_lib.dav2_depth_target(
+                tp["dinov2"], tcfgs.dinov2, batch["depth_images"]
+            )
+        if "gen" in tasks and "gen_images" in batch:
+            targets["gen"] = unclip_lib.gen_target(
+                tp["clip_h"], tcfgs.clip_h, batch["gen_images"]
+            )
+        if "seg" in tasks and "seg_images" in batch:
+            targets["seg"] = swin_lib.seg_target(
+                tp["swin"], tcfgs.swin, batch["seg_images"]
+            )
+        return targets
+
+    return teacher_fn
+
+
+def teacher_batch_from_pil(cfg: VLMConfig, pil_images) -> Dict[str, np.ndarray]:
+    """Host-side: per-teacher preprocessed pixel tensors for a list of PIL images."""
+    d = cfg.distill
+    assert d is not None
+    tasks = {t.task for t in d.tasks}
+    out: Dict[str, np.ndarray] = {}
+    if "depth" in tasks:
+        out["depth_images"] = np.stack(
+            [dinov2_lib.dav2_preprocess_np(im) for im in pil_images]
+        )
+    if "gen" in tasks:
+        out["gen_images"] = np.stack(
+            [unclip_lib.unclip_preprocess_np(im) for im in pil_images]
+        )
+    if "seg" in tasks:
+        from visper_lm_tpu.data.mm_utils import IMAGENET_MEAN, IMAGENET_STD, normalize_image
+
+        out["seg_images"] = np.stack(
+            [
+                normalize_image(im.resize((768, 768)), IMAGENET_MEAN, IMAGENET_STD)
+                for im in pil_images
+            ]
+        )
+    return out

@@ -31,10 +31,11 @@ def make_mesh(
     """Create a ('data', 'model') mesh. dp defaults to n_devices // tp."""
     if devices is None:
         devices = jax.devices()
-    n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+        dp = len(devices) // tp
+    devices = list(devices)[: dp * tp]
+    n = len(devices)
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != available devices({n})"
     try:
         from jax.experimental import mesh_utils
 

@@ -162,6 +162,10 @@ def make_train_step(
     )
 
     trainable = jax.device_put(trainable, train_shardings)
+    # device_put aliases arrays that are already correctly placed; copy so the
+    # donated TrainState buffers never invalidate caller-owned params (resume /
+    # repeated make_train_step calls).
+    trainable = jax.tree_util.tree_map(lambda x: x.copy(), trainable)
     frozen = jax.device_put(frozen, frozen_shardings)
     opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
     state = TrainState(

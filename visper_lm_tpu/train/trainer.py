@@ -1,0 +1,156 @@
+"""Training loop: data -> sharded step -> metrics/checkpoints.
+
+The loop half of the reference's `LLaVATrainer` + HF Trainer stack (SURVEY.md §2.6),
+redesigned TPU-first:
+  * the model step is the single compiled train step (train_step.py); the loop only
+    feeds batches, logs metrics, and rotates checkpoints — no logic inside forward
+    (the reference logs from inside model.forward, ola_llama.py:146-172; §5.5 flags
+    pulling that out);
+  * host->device transfer is overlapped by double-buffering the next batch;
+  * auto-resume: restores the latest checkpoint if one exists (train.py:1114-1117);
+  * metrics go to a JSONL file (and stdout) — wandb/TensorBoard are optional sinks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+import time
+from queue import Queue
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from visper_lm_tpu.config import VLMConfig
+from visper_lm_tpu.parallel.mesh import make_mesh
+from visper_lm_tpu.train.checkpoint import CheckpointManager
+from visper_lm_tpu.train.optimizer import OptimizerConfig
+from visper_lm_tpu.train.train_step import make_train_step, shard_batch
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str
+    num_epochs: int = 1
+    max_steps: Optional[int] = None
+    save_steps: int = 200
+    save_total_limit: int = 3
+    logging_steps: int = 1
+    seed: int = 0
+    dp: Optional[int] = None
+    tp: int = 1
+    resume: bool = True
+
+
+class MetricsLogger:
+    def __init__(self, output_dir: str, sinks: Iterable[Callable] = ()):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self.sinks = list(sinks)
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        record = {"step": step}
+        for k, v in metrics.items():
+            try:
+                record[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        for sink in self.sinks:
+            sink(step, record)
+
+
+class _Prefetcher:
+    """One-batch-deep background prefetch + device transfer."""
+
+    def __init__(self, iterator, transfer, depth: int = 2):
+        self.queue: Queue = Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            for item in iterator:
+                self.queue.put(transfer(item))
+            self.queue.put(self._done)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.queue.get()
+            if item is self._done:
+                return
+            yield item
+
+
+def train(
+    cfg: VLMConfig,
+    opt_cfg: OptimizerConfig,
+    trainer_cfg: TrainerConfig,
+    params: Any,
+    data_iter_fn: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+    *,
+    teacher_fn=None,
+    teacher_params=None,
+    use_pallas: Optional[bool] = None,
+    log_sinks: Iterable[Callable] = (),
+) -> Any:
+    """Run the training loop; returns the final TrainState.
+
+    data_iter_fn(epoch) yields host batches (splice plans + images + targets/masks).
+    """
+    mesh = make_mesh(dp=trainer_cfg.dp, tp=trainer_cfg.tp)
+    logger = MetricsLogger(trainer_cfg.output_dir, log_sinks)
+    ckpt = CheckpointManager(
+        os.path.join(trainer_cfg.output_dir, "checkpoints"),
+        save_total_limit=trainer_cfg.save_total_limit,
+    )
+
+    with mesh:
+        step_fn, state, state_shardings = make_train_step(
+            cfg, opt_cfg, params, mesh,
+            teacher_fn=teacher_fn, teacher_params=teacher_params,
+            use_pallas=use_pallas,
+        )
+
+        start_step = 0
+        if trainer_cfg.resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start_step = int(ckpt.latest_step())
+
+        step = start_step
+        t_last = time.perf_counter()
+        for epoch in range(trainer_cfg.num_epochs):
+            def transfer(batch):
+                batch = {k: v for k, v in batch.items() if k != "pil_images"}
+                return shard_batch(batch, mesh)
+
+            for dbatch in _Prefetcher(data_iter_fn(epoch), transfer):
+                if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
+                    break
+                state, metrics = step_fn(state, dbatch)
+                step += 1
+
+                if step % trainer_cfg.logging_steps == 0:
+                    now = time.perf_counter()
+                    metrics = dict(metrics)
+                    metrics["steps_per_sec"] = trainer_cfg.logging_steps / (now - t_last)
+                    t_last = now
+                    logger.log(step, metrics)
+
+                if step % trainer_cfg.save_steps == 0:
+                    ckpt.save(step, state, cfg)
+
+                if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
+                    break
+            if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
+                break
+
+        ckpt.save(step, state, cfg)
+        ckpt.wait()
+        ckpt.close()
+    return state

@@ -1,0 +1,135 @@
+"""Image-space ops: convolutions (NHWC) and align_corners-style bilinear resize.
+
+jax.image.resize implements half-pixel sampling only; the DPT decoder and OneFormer
+teacher use torch F.interpolate(..., align_corners=True/False) semantics, so both are
+implemented here explicitly as separable gather+lerp (shapes are small feature maps —
+XLA fuses these fine).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visper_lm_tpu.utils.param import Params
+
+
+def init_conv(
+    key: jax.Array,
+    kh: int,
+    kw: int,
+    cin: int,
+    cout: int,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    fan_in = kh * kw * cin
+    scale = 1.0 / math.sqrt(fan_in)
+    kernel = jax.random.uniform(
+        key, (kh, kw, cin, cout), jnp.float32, minval=-scale, maxval=scale
+    ).astype(dtype)
+    p: Params = {"kernel": kernel}
+    if use_bias:
+        p["bias"] = jnp.zeros((cout,), dtype=dtype)
+    return p
+
+
+def conv2d(
+    p: Params, x: jax.Array, stride: int = 1, padding="SAME"
+) -> jax.Array:
+    """x: (B, H, W, C) NHWC; kernel (kh, kw, cin, cout)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(p: Params, x: jax.Array, stride: int) -> jax.Array:
+    """torch ConvTranspose2d(k=stride, s=stride, p=0) equivalent (NHWC)."""
+    y = jax.lax.conv_transpose(
+        x,
+        p["kernel"].astype(x.dtype),
+        strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def depthwise_conv2d(p: Params, x: jax.Array, padding: int) -> jax.Array:
+    """Depthwise conv (ConvNeXt): kernel (kh, kw, 1, C), feature_group_count=C."""
+    c = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def _resize_1d_indices(in_size: int, out_size: int, align_corners: bool):
+    if align_corners and out_size > 1:
+        coords = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        coords = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        coords = jnp.clip(coords, 0.0, in_size - 1)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    frac = coords - lo.astype(jnp.float32)
+    return lo, hi, frac
+
+
+def resize_bilinear(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """torch F.interpolate(mode='bilinear') for NHWC tensors."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    lo_h, hi_h, fh = _resize_1d_indices(h, oh, align_corners)
+    lo_w, hi_w, fw = _resize_1d_indices(w, ow, align_corners)
+
+    xf = x.astype(jnp.float32)
+    top = jnp.take(xf, lo_h, axis=1)
+    bot = jnp.take(xf, hi_h, axis=1)
+    rows = top + (bot - top) * fh[None, :, None, None]
+    left = jnp.take(rows, lo_w, axis=2)
+    right = jnp.take(rows, hi_w, axis=2)
+    out = left + (right - left) * fw[None, None, :, None]
+    return out.astype(x.dtype)
+
+
+def resize_bicubic_pos_embed(
+    pos: jax.Array, src_grid: int, dst_grid: int, has_cls: bool = True
+) -> jax.Array:
+    """Interpolate a (N, D) ViT positional embedding between grid sizes (bicubic,
+    DINOv2 interpolate_pos_encoding semantics). Used at import time."""
+    if src_grid == dst_grid:
+        return pos
+    cls = pos[:1] if has_cls else None
+    grid = pos[1:] if has_cls else pos
+    d = grid.shape[-1]
+    grid = grid.reshape(1, src_grid, src_grid, d).astype(jnp.float32)
+    out = jax.image.resize(grid, (1, dst_grid, dst_grid, d), method="bicubic")
+    out = out.reshape(dst_grid * dst_grid, d)
+    if cls is not None:
+        out = jnp.concatenate([cls.astype(jnp.float32), out], axis=0)
+    return out.astype(pos.dtype)
