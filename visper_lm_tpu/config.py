@@ -371,6 +371,40 @@ def llama3_clip_vlm(distill: bool = False, **kwargs: Any) -> VLMConfig:
     )
 
 
+def probe_distill_config(
+    probe_mode: str,
+    num_layers: int,
+    **overrides: Any,
+) -> DistillConfig:
+    """Probing config: ONE head per LLM layer for a single task, plain smooth-L1
+    (reference base_probe_vlm.init_heads, base_probe_vlm.py:60-108: GenHead /
+    OneFormerSegHead / DepthHead(use_intermediate_depth=False), no task tokens,
+    no contrastive)."""
+    specs = {
+        "gen": (ResamplerConfig(num_tokens=1, output_dim=1024), 1024, 1),
+        "seg": (ResamplerConfig(num_tokens=576, output_dim=1536), 1536, 576),
+        "depth": (ResamplerConfig(num_tokens=576, output_dim=1024), 1024, 576),
+    }
+    head, tdim, ttok = specs[probe_mode]
+    return DistillConfig(
+        mode=probe_mode,
+        num_task_tokens=0,
+        use_contrastive=False,
+        contrastive_loss_weight=0.0,
+        tasks=(
+            DistillTaskConfig(
+                task=probe_mode,
+                layer_indices=tuple(range(num_layers)),
+                loss_weight=1.0,
+                head=head,
+                target_dim=tdim,
+                target_tokens=ttok,
+            ),
+        ),
+        **overrides,
+    )
+
+
 def tiny_test_vlm(distill: bool = False) -> VLMConfig:
     """A miniature config for CPU tests: same topology, tiny dims."""
     decoder = DecoderConfig(

@@ -53,6 +53,7 @@ def build_splice_plan(
     tokens_per_image: Optional[int] = None,
     num_task_tokens: int = 0,
     num_tasks: int = 0,
+    image_feature_indices: Optional[Sequence[np.ndarray]] = None,
 ) -> SplicePlan:
     """Lower one example to a fixed-length splice plan.
 
@@ -65,6 +66,8 @@ def build_splice_plan(
         anyres: pass the per-example total via tokens_per_image).
       num_task_tokens/num_tasks: OLA task tokens appended after EACH image span
         (append_special_tokens is called per image, ola_arch.py:377-392).
+      image_feature_indices: per-image explicit feature-buffer indices (anyres merged
+        layouts from data/anyres.anyres_index_plan); overrides the sequential layout.
     """
     if labels is None:
         labels = [IGNORE_INDEX] * len(input_ids)
@@ -90,12 +93,16 @@ def build_splice_plan(
 
     def emit_image() -> None:
         nonlocal pos, image_ordinal
-        base = image_ordinal * tokens_per_image
-        for j in range(tokens_per_image):
+        if image_feature_indices is not None:
+            indices = np.asarray(image_feature_indices[image_ordinal], dtype=np.int32)
+        else:
+            base = image_ordinal * tokens_per_image
+            indices = base + np.arange(tokens_per_image, dtype=np.int32)
+        for j in indices:
             if pos >= max_len:
                 break
             token_type[pos] = SEG_IMAGE
-            src_index[pos] = base + j
+            src_index[pos] = j
             pos += 1
         image_ordinal += 1
         for j in range(task_total):

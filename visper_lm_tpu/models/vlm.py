@@ -51,11 +51,20 @@ def tap_layer_union(cfg: VLMConfig) -> Tuple[int, ...]:
 def init_vlm(key: jax.Array, cfg: VLMConfig) -> Params:
     kd, kv, kp, kt, kh = jax.random.split(key, 5)
     dtype = jnp.dtype(cfg.decoder.dtype)
+    if cfg.use_convnext_tower:
+        from visper_lm_tpu.models.convnext import init_convnext
+
+        tower = init_convnext(kv, cfg.convnext)
+    else:
+        tower = init_vit(kv, cfg.vision)
     params: Params = {
         "decoder": decoder_lib.init_decoder(kd, cfg.decoder),
-        "vision_tower": init_vit(kv, cfg.vision),
+        "vision_tower": tower,
         "mm_projector": init_projector(kp, cfg.projector, dtype=dtype),
     }
+    if "unpad" in cfg.mm_patch_merge_type:
+        # learnable row separator for unpadded anyres grids (llava_arch.py:126-144)
+        params["image_newline"] = jnp.zeros((cfg.decoder.hidden_size,), dtype=dtype)
 
     d = cfg.distill
     if d is not None and d.num_task_tokens > 0:
@@ -131,10 +140,33 @@ def build_task_token_table(params: Params, cfg: VLMConfig) -> Optional[jax.Array
 def encode_images(params: Params, cfg: VLMConfig, images: jax.Array) -> jax.Array:
     """Vision tower + projector (reference encode_images, ola_arch.py:187-190).
 
-    images: (B, H, W, 3) normalized. Returns (B, 576, llm_hidden).
+    images: (B, H, W, 3) normalized, or anyres tiles (B, n_tiles, H, W, 3).
+    Returns (B, N, llm_hidden); for tiles N = n_tiles*per_tile (+1 newline row when
+    mm_patch_merge_type uses unpad — the gather indices from data/anyres.py point
+    into this flat layout).
     """
-    feats = clip_tower_features(params["vision_tower"], cfg.vision, images)
-    return projector_forward(params["mm_projector"], cfg.projector, feats)
+    tiled = images.ndim == 5
+    if tiled:
+        b, n_tiles = images.shape[:2]
+        images = images.reshape((b * n_tiles,) + images.shape[2:])
+
+    if cfg.use_convnext_tower:
+        from visper_lm_tpu.models.convnext import convnext_tower_features
+
+        feats = convnext_tower_features(params["vision_tower"], cfg.convnext, images)
+    else:
+        feats = clip_tower_features(params["vision_tower"], cfg.vision, images)
+    feats = projector_forward(params["mm_projector"], cfg.projector, feats)
+
+    if tiled:
+        feats = feats.reshape(b, -1, feats.shape[-1])
+        if "image_newline" in params:
+            newline = jnp.broadcast_to(
+                params["image_newline"].astype(feats.dtype),
+                (b, 1, feats.shape[-1]),
+            )
+            feats = jnp.concatenate([feats, newline], axis=1)
+    return feats
 
 
 def splice_embeddings(
