@@ -56,7 +56,9 @@ def build_bench_cfg(smoke: bool):
         decoder=decoder,
         vision=CLIP_VIT_L_336,
         projector=ProjectorConfig(input_dim=1024, output_dim=2048),
-        distill=make_distill_config(),  # gen-depth-seg @ default layers/dims
+        # reference layer-indices DSL rescaled from the 32-layer recipe
+        # (d18-20_s10-18_g12-20) to this 16-layer bench decoder
+        distill=make_distill_config(layer_indices="d9-10_s5-9_g6-10"),
         conv_template="llava_llama_3",
         num_sys_tokens=38,
         num_image_tokens=576,

@@ -56,8 +56,14 @@ def init_convnext(key: jax.Array, cfg: ConvNeXtConfig) -> Params:
         "norm_pre": init_layernorm(cfg.dims[-1], dtype),
     }
     for s, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+        # blocks are STACKED (leading depth axis) and scanned — keeps the compiled
+        # program size O(1) in depth (stage 3 of XXL has 30 blocks)
+        from visper_lm_tpu.utils.param import stack_layer_params
+
         stage: Params = {
-            "blocks": [init_convnext_block(next(ki), dim, dtype) for _ in range(depth)]
+            "blocks": stack_layer_params(
+                [init_convnext_block(next(ki), dim, dtype) for _ in range(depth)]
+            )
         }
         if s > 0:
             stage["downsample"] = {
@@ -93,8 +99,11 @@ def convnext_forward(
         if "downsample" in stage:
             x = layernorm(stage["downsample"]["norm"], x, cfg.norm_eps)
             x = conv2d(stage["downsample"]["conv"], x, stride=2, padding="VALID")
-        for block in stage["blocks"]:
-            x = _block(block, x, cfg.norm_eps)
+
+        def body(h, block):
+            return _block(block, h, cfg.norm_eps), None
+
+        x, _ = jax.lax.scan(body, x, stage["blocks"])
         stages.append(x)
     out = layernorm(params["norm_pre"], x, cfg.norm_eps)
     if return_stages:
@@ -140,6 +149,8 @@ def import_openclip_convnext(
             "bias": sd[key + ".bias"],
         }
 
+    from visper_lm_tpu.checkpoint.hf_import import _stack
+
     params: Params = {
         "stem_conv": conv_p(prefix + "stem.0"),
         "stem_norm": _ln(sd, prefix + "stem.1"),
@@ -148,7 +159,8 @@ def import_openclip_convnext(
     }
     for s in range(len(cfg.depths)):
         sp = f"{prefix}stages.{s}."
-        stage: Params = {"blocks": []}
+        blocks = []
+        stage: Params = {}
         if f"{sp}downsample.1.weight" in sd:
             stage["downsample"] = {
                 "norm": _ln(sd, sp + "downsample.0"),
@@ -156,7 +168,7 @@ def import_openclip_convnext(
             }
         for i in range(cfg.depths[s]):
             bp = f"{sp}blocks.{i}."
-            stage["blocks"].append(
+            blocks.append(
                 {
                     "dwconv": dwconv_p(bp + "conv_dw"),
                     "norm": _ln(sd, bp + "norm"),
@@ -165,5 +177,6 @@ def import_openclip_convnext(
                     "gamma": sd[bp + "gamma"],
                 }
             )
+        stage["blocks"] = _stack(blocks)
         params["stages"].append(stage)
     return params

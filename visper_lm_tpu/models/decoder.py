@@ -174,6 +174,12 @@ def decoder_forward(
         cos, sin = cos[None], sin[None]
 
     num_taps = len(tap_layers)
+    if num_taps:
+        # out-of-range taps would be silently dropped by the scatter, leaving
+        # all-zero tap buffers whose downstream losses NaN in backward — fail loud
+        assert max(tap_layers) < cfg.num_layers, (
+            f"tap layers {tap_layers} out of range for {cfg.num_layers}-layer decoder"
+        )
     # slot index per layer (-1 = not tapped); static metadata scanned as xs.
     slot_per_layer = -jnp.ones((cfg.num_layers,), dtype=jnp.int32)
     for i, layer in enumerate(tap_layers):

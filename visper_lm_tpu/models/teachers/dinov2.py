@@ -36,9 +36,19 @@ def dinov2_intermediate_features(
     params: Params,
     cfg: VisionConfig,
     images: jax.Array,                              # (B, H, W, 3) normalized
-    layers: Sequence[int] = DAV2_INTERMEDIATE_LAYERS,
+    layers: Sequence[int] = None,
 ) -> List[Tuple[jax.Array, jax.Array]]:
     """Per layer: (patch_tokens (B, N, D), cls (B, D)), final-norm applied."""
+    if layers is None:
+        # [4, 11, 17, 23] for ViT-L (dpt.py:164-169); evenly-spaced 4 taps for
+        # smaller test towers
+        if cfg.num_layers >= 24:
+            layers = DAV2_INTERMEDIATE_LAYERS
+        else:
+            n = min(4, cfg.num_layers)
+            layers = sorted(
+                {round((i + 1) * cfg.num_layers / n) - 1 for i in range(n)}
+            )
     out = vit_forward(params, cfg, images, output_layers=tuple(layers), final_norm=False)
     results = []
     for layer in layers:

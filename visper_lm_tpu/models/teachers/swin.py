@@ -113,10 +113,12 @@ def init_swin(key: jax.Array, cfg: SwinConfig = SWIN_L) -> Params:
     }
     for s, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
         dim = cfg.stage_dim(s)
+        # stacked + scanned (Swin-L stage 3 has 18 blocks; unrolled HLO is too big
+        # for the target's remote-compile path)
         stage: Params = {
-            "blocks": [
-                init_swin_block(next(ki), dim, heads, cfg, dtype) for _ in range(depth)
-            ]
+            "blocks": stack_layer_params(
+                [init_swin_block(next(ki), dim, heads, cfg, dtype) for _ in range(depth)]
+            )
         }
         if s < n_stages - 1:
             stage["downsample"] = {
@@ -144,19 +146,20 @@ def _swin_block(
     x: jax.Array,            # (B, H, W, C)
     heads: int,
     ws: int,
-    shift: int,
+    shift,                   # traced int scalar (0 for even blocks) — scanned over
     rel_index: jax.Array,    # (N, N) static
-    shift_mask: Optional[jax.Array],
+    shift_mask: Optional[jax.Array],   # (nW, N, N) additive; applied iff shift > 0
     eps: float,
 ) -> jax.Array:
     b, h, w, c = x.shape
     hd = c // heads
     n = ws * ws
+    shift = jnp.asarray(shift)
 
     shortcut = x
     y = layernorm(block["norm1"], x, eps)
-    if shift > 0:
-        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+    # roll by a traced amount: identity when shift == 0
+    y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     win = _window_partition(y, ws)                       # (B*nW, N, C)
     qkv = linear(block["qkv"], win).reshape(-1, n, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -170,9 +173,10 @@ def _swin_block(
     bias = bias.reshape(n, n, heads).transpose(2, 0, 1)   # (heads, N, N)
     attn = attn + bias[None]
 
-    if shift > 0 and shift_mask is not None:
+    if shift_mask is not None:
         n_win = shift_mask.shape[0]
-        attn = attn.reshape(b, n_win, heads, n, n) + shift_mask[None, :, None]
+        gate = (shift > 0).astype(jnp.float32)
+        attn = attn.reshape(b, n_win, heads, n, n) + gate * shift_mask[None, :, None]
         attn = attn.reshape(-1, heads, n, n)
 
     attn = jax.nn.softmax(attn, axis=-1)
@@ -180,8 +184,7 @@ def _swin_block(
     out = out.reshape(-1, n, c).astype(x.dtype)
     out = linear(block["proj"], out)
     out = _window_merge(out, ws, b, h, w)
-    if shift > 0:
-        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    out = jnp.roll(out, (shift, shift), axis=(1, 2))
     x = shortcut + out
 
     y = layernorm(block["norm2"], x, eps)
@@ -223,12 +226,23 @@ def swin_forward(
         shift_mask = (
             jnp.asarray(_shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         )
-        for i, block in enumerate(stage["blocks"]):
-            blk_shift = shift if i % 2 == 1 else 0
-            x = _swin_block(
-                block, x, heads, ws, blk_shift, rel_index,
-                shift_mask if blk_shift > 0 else None, cfg.norm_eps,
+        depth = cfg.depths[s]
+        # per-block shift amounts scanned alongside the stacked block params
+        shifts = jnp.asarray(
+            [shift if i % 2 == 1 else 0 for i in range(depth)], dtype=jnp.int32
+        )
+
+        def body(h_, xs, heads=heads, shift_mask=shift_mask):
+            block, blk_shift = xs
+            return (
+                _swin_block(
+                    block, h_, heads, ws, blk_shift, rel_index, shift_mask,
+                    cfg.norm_eps,
+                ),
+                None,
             )
+
+        x, _ = jax.lax.scan(body, x, (stage["blocks"], shifts))
         if s in out_stages:
             outputs.append(layernorm(params["out_norms"][s], x, cfg.norm_eps))
         if "downsample" in stage:
@@ -246,7 +260,7 @@ def seg_target(params: Params, cfg: SwinConfig, images: jax.Array) -> jax.Array:
 
 def import_swin_backbone(sd: Dict[str, np.ndarray], cfg: SwinConfig, prefix: str) -> Params:
     """Import an HF OneFormer/Swin backbone state dict (pixel_level_module.encoder.*)."""
-    from visper_lm_tpu.checkpoint.hf_import import _ln, _lin
+    from visper_lm_tpu.checkpoint.hf_import import _ln, _lin, _stack
 
     params: Params = {
         "patch_embed": {
@@ -262,6 +276,7 @@ def import_swin_backbone(sd: Dict[str, np.ndarray], cfg: SwinConfig, prefix: str
     for s in range(len(cfg.depths)):
         sp = f"{prefix}encoder.layers.{s}."
         stage: Params = {"blocks": []}
+        blocks: list = stage["blocks"]
         for i in range(cfg.depths[s]):
             bp = f"{sp}blocks.{i}."
             att = bp + "attention."
@@ -282,6 +297,7 @@ def import_swin_backbone(sd: Dict[str, np.ndarray], cfg: SwinConfig, prefix: str
                     "fc2": _lin(sd, bp + "output.dense"),
                 }
             )
+        stage["blocks"] = _stack(blocks)
         if f"{sp}downsample.reduction.weight" in sd:
             stage["downsample"] = {
                 "norm": _ln(sd, sp + "downsample.norm"),

@@ -155,19 +155,37 @@ def vit_forward(
     if cfg.use_pre_norm:
         h = layernorm(params["pre_norm"], h, cfg.norm_eps)
 
-    want = set(output_layers or ())
-    taps: Dict[int, jax.Array] = {}
-    # Vision towers are shallow (24-32 blocks) and often truncated (select_layer=-2);
-    # a python loop lets XLA drop un-needed suffix layers entirely.
+    want = sorted(set(output_layers or ()))
+    if want:
+        assert max(want) < cfg.num_layers, (
+            f"tap layer {max(want)} out of range for {cfg.num_layers}-layer tower"
+        )
+    # Truncated towers (select_layer=-2) skip the unneeded suffix layers entirely.
     max_layer = cfg.num_layers
     if output_layers is not None and not final_norm:
         max_layer = max(want) + 1
-    blocks = params["blocks"]
-    for i in range(max_layer):
-        block = jax.tree_util.tree_map(lambda x: x[i], blocks)
+    # lax.scan over (sliced) stacked blocks: one compiled block body regardless of
+    # depth. (An unrolled python loop here produced HLO large enough to exceed the
+    # remote-compile request limit on the target environment.)
+    blocks = jax.tree_util.tree_map(lambda x: x[:max_layer], params["blocks"])
+    num_taps = len(want)
+    slot_per_layer = -jnp.ones((max_layer,), dtype=jnp.int32)
+    for i, layer in enumerate(want):
+        slot_per_layer = slot_per_layer.at[layer].set(i)
+    taps0 = jnp.zeros((max(num_taps, 1),) + h.shape, dtype=h.dtype)
+
+    def body(carry, xs):
+        h, taps_buf = carry
+        block, slot = xs
         h = _vit_block_forward(block, cfg, h, act)
-        if i in want:
-            taps[i] = h
+        if num_taps > 0:
+            write_slot = jnp.maximum(slot, 0)
+            updated = jax.lax.dynamic_update_index_in_dim(taps_buf, h, write_slot, axis=0)
+            taps_buf = jnp.where(slot >= 0, updated, taps_buf)
+        return (h, taps_buf), None
+
+    (h, taps_buf), _ = jax.lax.scan(body, (h, taps0), (blocks, slot_per_layer))
+    taps = {layer: taps_buf[i] for i, layer in enumerate(want)}
 
     out: Dict[str, Any] = {"taps": taps, "pre_norm_last": h}
     if final_norm:

@@ -57,7 +57,6 @@ def make_loss_fn(
     cfg: VLMConfig,
     *,
     teacher_fn: Optional[Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]] = None,
-    teacher_params: Any = None,
     remat: bool = True,
     use_pallas: Optional[bool] = None,
 ):
@@ -65,9 +64,13 @@ def make_loss_fn(
 
     batch: splice plan arrays + images (+ per-task masks `{task}_mask` (B,)) and
     either precomputed `{task}_target` arrays or teacher inputs for teacher_fn.
+
+    teacher_params is an ARGUMENT of the returned loss_fn, never a closure: arrays
+    captured by closure can be inlined into the serialized HLO, which explodes
+    compile payloads/times (observed: remote-compile HTTP 413 at GB-scale consts).
     """
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, teacher_params=None):
         out = vlm_forward(params, cfg, batch, remat=remat, use_pallas=use_pallas)
         text_loss = ntp_loss(out["logits"], batch["labels"])
         metrics: Dict[str, jax.Array] = {"text_loss": text_loss}
@@ -136,14 +139,13 @@ def make_train_step(
     base_loss_fn = make_loss_fn(
         cfg,
         teacher_fn=teacher_fn,
-        teacher_params=teacher_params,
         remat=remat,
         use_pallas=use_pallas,
     )
 
-    def loss_fn(trainable_params, frozen_params, batch):
+    def loss_fn(trainable_params, frozen_params, tp, batch):
         full = merge_params(trainable_params, frozen_params)
-        return base_loss_fn(full, batch)
+        return base_loss_fn(full, batch, tp)
 
     # --- shardings ---
     all_specs = shd.param_pspecs(params)
@@ -174,9 +176,11 @@ def make_train_step(
         step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
     )
 
-    def step_fn(state: TrainState, frozen_params, batch: Dict[str, jax.Array]):
+    # teacher params are explicit jit args (NOT closures): closed-over arrays can be
+    # inlined into the serialized HLO, which explodes compile payloads/times.
+    def step_fn(state: TrainState, frozen_params, tp, batch: Dict[str, jax.Array]):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen_params, batch
+            state.params, frozen_params, tp, batch
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -191,8 +195,9 @@ def make_train_step(
         donate_argnums=(0,),
         out_shardings=(state_shardings, None),
     )
+
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        return jitted(state, frozen, batch)
+        return jitted(state, frozen, teacher_params, batch)
 
     return step, state, state_shardings
 

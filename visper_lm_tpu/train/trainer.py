@@ -110,6 +110,20 @@ def train(
         save_total_limit=trainer_cfg.save_total_limit,
     )
 
+    # Preemption safety (SURVEY.md §5.3 gap in the reference): SIGTERM requests a
+    # checkpoint at the next step boundary instead of dying mid-save.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread
+        prev_handler = None
+
     with mesh:
         step_fn, state, state_shardings = make_train_step(
             cfg, opt_cfg, params, mesh,
@@ -145,12 +159,18 @@ def train(
                 if step % trainer_cfg.save_steps == 0:
                     ckpt.save(step, state, cfg)
 
+                if preempted["flag"]:
+                    ckpt.save(step, state, cfg)
+                    ckpt.wait()
+                    break
                 if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
                     break
-            if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
+            if preempted["flag"] or (trainer_cfg.max_steps and step >= trainer_cfg.max_steps):
                 break
 
         ckpt.save(step, state, cfg)
         ckpt.wait()
         ckpt.close()
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return state
