@@ -142,6 +142,21 @@ class ProjectorConfig:
 
 
 @dataclass(frozen=True)
+class LoraConfig:
+    """LoRA adapter config (reference train.py:983-999: r=64, alpha=16)."""
+
+    r: int = 64
+    alpha: int = 16
+    targets: Tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"
+    )
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.r
+
+
+@dataclass(frozen=True)
 class ResamplerConfig:
     """Perceiver resampler head hyperparams (reference resampler.py:119-165).
 
@@ -209,6 +224,7 @@ class VLMConfig:
     mm_patch_merge_type: str = "flat"
     use_convnext_tower: bool = False
     convnext: Optional[ConvNeXtConfig] = None
+    lora: Optional[LoraConfig] = None
 
     @property
     def num_task_tokens_total(self) -> int:
@@ -485,6 +501,7 @@ _CONFIG_CLASSES = {
         VisionConfig,
         ConvNeXtConfig,
         ProjectorConfig,
+        LoraConfig,
         ResamplerConfig,
         DistillTaskConfig,
         DistillConfig,

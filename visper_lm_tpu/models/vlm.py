@@ -49,7 +49,7 @@ def tap_layer_union(cfg: VLMConfig) -> Tuple[int, ...]:
 
 
 def init_vlm(key: jax.Array, cfg: VLMConfig) -> Params:
-    kd, kv, kp, kt, kh = jax.random.split(key, 5)
+    kd, kv, kp, kt, kh, kl = jax.random.split(key, 6)
     dtype = jnp.dtype(cfg.decoder.dtype)
     if cfg.use_convnext_tower:
         from visper_lm_tpu.models.convnext import init_convnext
@@ -65,6 +65,10 @@ def init_vlm(key: jax.Array, cfg: VLMConfig) -> Params:
     if "unpad" in cfg.mm_patch_merge_type:
         # learnable row separator for unpadded anyres grids (llava_arch.py:126-144)
         params["image_newline"] = jnp.zeros((cfg.decoder.hidden_size,), dtype=dtype)
+    if cfg.lora is not None:
+        from visper_lm_tpu.models.lora import init_lora
+
+        params["lora"] = init_lora(kl, cfg.decoder, cfg.lora, dtype=jnp.float32)
 
     d = cfg.distill
     if d is not None and d.num_task_tokens > 0:
@@ -221,6 +225,11 @@ def vlm_forward(
     batch keys: images (B,H,W,3) | precomputed image_features, text_ids, token_type,
     src_index, seq_lengths.
     """
+    if cfg.lora is not None and "lora" in params:
+        from visper_lm_tpu.models.lora import apply_lora
+
+        params = apply_lora(params, cfg.lora)
+
     if "image_features" in batch:
         image_features = batch["image_features"]
     else:

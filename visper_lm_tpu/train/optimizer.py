@@ -55,6 +55,8 @@ _STAGE_TRAINABLE: Dict[str, Tuple[str, ...]] = {
     "vpt": (r".*",),
     # probing: heads only, whole trunk frozen
     "probe": (r"^heads/", r"^probes/", r"^logit_scales/"),
+    # LoRA IFT: adapters + projector (reference lora_enable path, train.py:983-999)
+    "lora": (r"^lora/", r"^mm_projector/"),
 }
 
 
