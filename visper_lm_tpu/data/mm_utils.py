@@ -223,6 +223,66 @@ def unpad_image_array(tensor: np.ndarray, original_size: Tuple[int, int]) -> np.
 
 
 # ---------------------------------------------------------------------------
+# highres / crop_split modes (reference mm_utils.py:40-117)
+# ---------------------------------------------------------------------------
+
+
+def resize_and_center_crop(image: Image.Image, size: int) -> Image.Image:
+    image = resize_shortest_edge(image, size)
+    return center_crop(image, size)
+
+
+def extract_patches(
+    image: Image.Image, patch_size: int, overlap_ratio: float = 0.0
+) -> List[Image.Image]:
+    """Centered non-overlapping (or overlapping) patch grid (mm_utils.py:63-85)."""
+    w, h = image.size
+    stride = int(patch_size * (1 - overlap_ratio))
+    num_y = (h - patch_size) // stride + 1
+    num_x = (w - patch_size) // stride + 1
+    y_start = (h - (num_y - 1) * stride - patch_size) // 2
+    x_start = (w - (num_x - 1) * stride - patch_size) // 2
+    patches = []
+    for y in range(y_start, y_start + num_y * stride, stride):
+        for x in range(x_start, x_start + num_x * stride, stride):
+            patches.append(image.crop((x, y, x + patch_size, y + patch_size)))
+    return patches
+
+
+def process_highres_image(
+    image: Image.Image,
+    grid_params: Sequence[int],
+    shortest_edge: int,
+    preprocess_fn,
+) -> np.ndarray:
+    """Square-pad to max(grid_params), split into shortest_edge patches, prepend the
+    base resize (mm_utils.py:99-117 — including the reference's 'always pick the
+    largest grid' behavior, :108)."""
+    select_size = max(grid_params)
+    bg = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
+    image_padded = expand2square(image.convert("RGB"), bg).resize(
+        (select_size, select_size)
+    )
+    image_original_resize = image.resize((shortest_edge, shortest_edge))
+    patches = [image_original_resize] + extract_patches(
+        image_padded, patch_size=shortest_edge, overlap_ratio=0
+    )
+    return np.stack([preprocess_fn(p) for p in patches], axis=0)
+
+
+def process_crop_split_image(
+    image: Image.Image,
+    crop_resolution: int,
+    split_resolution: int,
+    preprocess_fn,
+) -> np.ndarray:
+    """resize+center-crop then non-overlapping split (mm_utils.py:88-97)."""
+    image_crop = resize_and_center_crop(image.convert("RGB"), crop_resolution)
+    patches = extract_patches(image_crop, patch_size=split_resolution, overlap_ratio=0)
+    return np.stack([preprocess_fn(p) for p in patches], axis=0)
+
+
+# ---------------------------------------------------------------------------
 # process_images dispatch (reference mm_utils.py:309-333)
 # ---------------------------------------------------------------------------
 
@@ -233,10 +293,23 @@ def process_images(
     image_size: int = 336,
     grid_pinpoints: Optional[Union[str, List[Tuple[int, int]]]] = None,
     preprocess_fn=None,
+    highres_grid: Sequence[int] = (672,),
+    crop_resolution: int = 672,
+    split_resolution: int = 336,
 ) -> Union[np.ndarray, List[np.ndarray]]:
     if preprocess_fn is None:
         preprocess_fn = lambda im: clip_preprocess(im, image_size)
 
+    if image_aspect_ratio == "highres":
+        return [
+            process_highres_image(im, highres_grid, image_size, preprocess_fn)
+            for im in images
+        ]
+    if image_aspect_ratio == "crop_split":
+        return [
+            process_crop_split_image(im, crop_resolution, split_resolution, preprocess_fn)
+            for im in images
+        ]
     if image_aspect_ratio == "pad":
         bg = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
         out = [preprocess_fn(expand2square(im.convert("RGB"), bg)) for im in images]

@@ -26,8 +26,13 @@ import numpy as np
 
 
 def visualize_interpretations(model, question: str, image, out_dir: str,
-                              dpt_params=None) -> dict:
-    """Run get_visual_interpretations and render what we can to disk."""
+                              dpt_params=None, oneformer=None) -> dict:
+    """Run get_visual_interpretations and render what we can to disk.
+
+    oneformer: optional dict with keys dec_params, cfg, swin_params, swin_cfg,
+    task_inputs — enables real mask decoding through the predicted seg embedding
+    (reference demo.py:209-229 backbone-feature substitution).
+    """
     os.makedirs(out_dir, exist_ok=True)
     interp = model.get_visual_interpretations(question, image)
     manifest = {}
@@ -45,6 +50,35 @@ def visualize_interpretations(model, question: str, image, out_dir: str,
                 depth = np.asarray(normalized_depth(dpt_params, feats))[0]
                 _save_colormap(depth, base + ".png")
                 manifest[f"{task}/{layer + 1}_png"] = base + ".png"
+            if task == "seg" and oneformer is not None:
+                import jax.numpy as jnp
+
+                from visper_lm_tpu.models.teachers.dinov2 import IMAGENET_MEAN, IMAGENET_STD
+                from visper_lm_tpu.models.teachers.oneformer import (
+                    get_masks,
+                    semantic_segmentation,
+                )
+
+                side = int(emb.shape[1] ** 0.5)
+                pred_map = jnp.asarray(emb).reshape(1, side, side, -1)
+                pixels = np.asarray(
+                    image.resize((768, 768)), dtype=np.float32
+                )[None] / 255.0
+                pixels = (pixels - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+                out = get_masks(
+                    oneformer["dec_params"], oneformer["cfg"],
+                    oneformer["swin_params"], oneformer["swin_cfg"],
+                    jnp.asarray(pixels, jnp.float32), oneformer["task_inputs"],
+                    backbone_last_feature=pred_map,
+                )
+                sem = np.asarray(
+                    semantic_segmentation(
+                        out["class_queries_logits"], out["masks_queries_logits"],
+                        (image.size[1], image.size[0]),
+                    )
+                )[0]
+                _save_colormap(sem / max(sem.max(), 1), base + "_sem.png")
+                manifest[f"{task}/{layer + 1}_sem"] = base + "_sem.png"
     return manifest
 
 

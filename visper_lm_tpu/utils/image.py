@@ -117,6 +117,54 @@ def resize_bilinear(
     return out.astype(x.dtype)
 
 
+def grid_sample_bilinear(
+    value: jax.Array,      # (B, H, W, C)
+    grid: jax.Array,       # (B, N, P, 2) normalized [-1, 1] (x, y)
+    align_corners: bool = False,
+) -> jax.Array:
+    """torch F.grid_sample(mode='bilinear', padding_mode='zeros') for NHWC values.
+
+    Returns (B, N, P, C). Out-of-bounds samples contribute zero (per-corner masking,
+    matching torch's zero padding exactly).
+    """
+    b, h, w, c = value.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    tx = fx - x0
+    ty = fy - y0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat = value.reshape(b, h * w, c)
+        idx = yc * w + xc                          # (B, N, P)
+        out = jnp.take_along_axis(
+            flat, idx.reshape(b, -1, 1), axis=1
+        ).reshape(idx.shape + (c,))
+        return out * inb[..., None].astype(value.dtype)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    tx = tx[..., None].astype(value.dtype)
+    ty = ty[..., None].astype(value.dtype)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
 def resize_bicubic_pos_embed(
     pos: jax.Array, src_grid: int, dst_grid: int, has_cls: bool = True
 ) -> jax.Array:
