@@ -31,6 +31,31 @@ from visper_lm_tpu.data.collate import SplicePlan, build_splice_plan, collate_pl
 from visper_lm_tpu.data.preprocess import preprocess, preprocess_multimodal
 
 
+def prepare_coco_probe_records(coco_caption_json: str, image_prefix: str = "train2017/") -> List[dict]:
+    """Synthesize probe-training conversations from COCO captions
+    (probe_dsg_train.py:696-724): one 'Describe the image in two lines.' turn per
+    image with a placeholder answer (NTP is unused in probe training)."""
+    data = json.load(open(coco_caption_json))
+    id_to_file = {im["id"]: im["file_name"] for im in data["images"]}
+    seen = set()
+    out = []
+    for ann in data["annotations"]:
+        image_id = ann["image_id"]
+        if image_id in seen:
+            continue
+        seen.add(image_id)
+        out.append(
+            {
+                "conversations": [
+                    {"from": "human", "value": "Describe the image in two lines.\n<image>"},
+                    {"from": "gpt", "value": "n"},
+                ],
+                "image": image_prefix + id_to_file[image_id],
+            }
+        )
+    return out
+
+
 def read_jsonl(path: str) -> List[dict]:
     out = []
     with open(path) as f:

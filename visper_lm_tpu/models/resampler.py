@@ -88,6 +88,46 @@ def feedforward(p: Params, x: jax.Array) -> jax.Array:
     return linear(p["fc2"], y)
 
 
+def init_attention_pool2d(
+    key: jax.Array, seq_len: int, embed_dim: int, output_dim: Optional[int] = None,
+    dtype=jnp.float32,
+) -> Params:
+    """AttentionPool2d (reference resampler.py:78-116): CLS = mean token, learned
+    positional embedding, single MHA block projecting to output_dim."""
+    ks = jax.random.split(key, 5)
+    out_dim = output_dim or embed_dim
+    return {
+        "pos_embed": (
+            jax.random.normal(ks[0], (seq_len + 1, embed_dim), jnp.float32)
+            / embed_dim ** 0.5
+        ).astype(dtype),
+        "q_proj": init_linear(ks[1], embed_dim, embed_dim, use_bias=True, dtype=dtype),
+        "k_proj": init_linear(ks[2], embed_dim, embed_dim, use_bias=True, dtype=dtype),
+        "v_proj": init_linear(ks[3], embed_dim, embed_dim, use_bias=True, dtype=dtype),
+        "c_proj": init_linear(ks[4], embed_dim, out_dim, use_bias=True, dtype=dtype),
+    }
+
+
+def attention_pool2d(
+    p: Params, x: jax.Array, num_heads: int, return_all_tokens: bool = False
+) -> jax.Array:
+    """x: (B, N, D) token features -> pooled (B, out) or all tokens (B, N+1, out)."""
+    b, n, d = x.shape
+    mean_tok = jnp.mean(x, axis=1, keepdims=True)
+    h = jnp.concatenate([mean_tok, x], axis=1) + p["pos_embed"][None].astype(x.dtype)
+
+    hd = d // num_heads
+    q = linear(p["q_proj"], h).reshape(b, n + 1, num_heads, hd).transpose(0, 2, 1, 3)
+    k = linear(p["k_proj"], h).reshape(b, n + 1, num_heads, hd).transpose(0, 2, 1, 3)
+    v = linear(p["v_proj"], h).reshape(b, n + 1, num_heads, hd).transpose(0, 2, 1, 3)
+    w = jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / (hd ** 0.5), axis=-1
+    ).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(b, n + 1, d)
+    out = linear(p["c_proj"], out)
+    return out if return_all_tokens else out[:, 0]
+
+
 def init_resampler(
     key: jax.Array,
     cfg: ResamplerConfig,

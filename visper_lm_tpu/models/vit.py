@@ -199,6 +199,42 @@ def vit_forward(
     return out
 
 
+def clip_tower_features_s2(
+    params: Params,
+    cfg: VisionConfig,
+    images: jax.Array,              # (B, S_max, S_max, 3) at the LARGEST scale
+    scales: Sequence[int] = (336, 1008),
+) -> jax.Array:
+    """CLIPVisionTowerS2 multiscale features (reference clip_encoder.py:94-149,
+    s2wrapper semantics): per scale, resize -> split into base-size tiles -> forward
+    -> reassemble the feature grid -> resize to the base grid; concat channel-wise.
+    Output (B, 576, hidden * len(scales))."""
+    from visper_lm_tpu.utils.image import resize_bilinear
+
+    base = min(scales)
+    side = cfg.num_patches_per_side
+    b = images.shape[0]
+    outs = []
+    for scale in sorted(scales):
+        imgs = resize_bilinear(images, (scale, scale)) if images.shape[1] != scale else images
+        n_tiles = scale // base
+        if n_tiles == 1:
+            feats = clip_tower_features(params, cfg, imgs)
+            grid = feats.reshape(b, side, side, -1)
+        else:
+            tiles = imgs.reshape(b, n_tiles, base, n_tiles, base, 3)
+            tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(-1, base, base, 3)
+            feats = clip_tower_features(params, cfg, tiles)     # (B*t*t, 576, D)
+            d = feats.shape[-1]
+            grid = feats.reshape(b, n_tiles, n_tiles, side, side, d)
+            grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, n_tiles * side, n_tiles * side, d
+            )
+        grid = resize_bilinear(grid, (side, side))
+        outs.append(grid.reshape(b, side * side, -1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def clip_tower_features(params: Params, cfg: VisionConfig, images: jax.Array) -> jax.Array:
     """CLIPVisionTower-equivalent: select hidden layer, drop/keep CLS.
 

@@ -133,3 +133,21 @@ def distill_losses(
         metrics[f"{task}_contrastive_loss"] = task_cont
         total += task_total
     return total, metrics
+
+
+def silog_loss(
+    depth_est: jax.Array, depth_gt: jax.Array, variance_focus: float = 0.5
+) -> jax.Array:
+    """Scale-invariant log depth loss (reference ola_utils.py:127-134; unused by the
+    shipped recipes but part of the public loss surface)."""
+    mask = depth_gt > 0
+    count = jnp.maximum(jnp.sum(mask), 1)
+    d = jnp.where(
+        mask,
+        jnp.log(jnp.maximum(depth_est, 1e-12)) - jnp.log(jnp.maximum(depth_gt, 1e-12)),
+        0.0,
+    )
+    mean_sq = jnp.sum(d * d) / count
+    mean = jnp.sum(d) / count
+    loss = jnp.sqrt(jnp.maximum(mean_sq - variance_focus * mean * mean, 0.0))
+    return jnp.where(jnp.sum(mask) == 0, 0.0, loss)
