@@ -186,3 +186,25 @@ def test_param_counts_are_sane():
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     assert count_params(params) > 0
     assert "lm_head" in params["decoder"]
+
+
+def test_chunked_ce_matches_standard():
+    from visper_lm_tpu.constants import IGNORE_INDEX
+    from visper_lm_tpu.train.losses import ntp_loss, ntp_loss_chunked
+
+    rng = jax.random.PRNGKey(0)
+    b, t, d, v = 2, 37, 16, 50
+    hidden = jax.random.normal(rng, (b, t, d))
+    head = jax.random.normal(jax.random.PRNGKey(1), (d, v))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, v)
+    labels = labels.at[:, :5].set(IGNORE_INDEX)
+
+    logits = jnp.dot(hidden, head)
+    ref = ntp_loss(logits, labels)
+    got = ntp_loss_chunked(hidden, head, labels, chunk=8)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+    # gradients agree too
+    g1 = jax.grad(lambda h: ntp_loss(jnp.dot(h, head), labels))(hidden)
+    g2 = jax.grad(lambda h: ntp_loss_chunked(h, head, labels, chunk=8))(hidden)
+    np.testing.assert_allclose(np.array(g2), np.array(g1), rtol=1e-5, atol=1e-7)

@@ -157,6 +157,7 @@ def decoder_forward(
     q_offset: int | jax.Array = 0,
     remat: bool = False,
     use_pallas: Optional[bool] = None,
+    compute_logits: bool = True,
 ) -> Dict[str, Any]:
     """Run the decoder trunk.
 
@@ -219,13 +220,13 @@ def decoder_forward(
     (h, taps), ys = jax.lax.scan(body, (inputs_embeds, taps0), xs)
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
-    if cfg.tie_embeddings:
-        logits = jnp.dot(hidden, params["embed_tokens"]["embedding"].T)
-    else:
-        logits = linear(params["lm_head"], hidden)
-    logits = logits.astype(jnp.float32)
-
-    out: Dict[str, Any] = {"hidden": hidden, "logits": logits}
+    out: Dict[str, Any] = {"hidden": hidden}
+    if compute_logits:
+        if cfg.tie_embeddings:
+            logits = jnp.dot(hidden, params["embed_tokens"]["embedding"].T)
+        else:
+            logits = linear(params["lm_head"], hidden)
+        out["logits"] = logits.astype(jnp.float32)
     out["taps"] = taps if num_taps > 0 else None
     if has_cache:
         out["cache"] = KVCache(k=ys[0], v=ys[1])

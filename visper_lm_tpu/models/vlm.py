@@ -219,6 +219,7 @@ def vlm_forward(
     remat: bool = False,
     use_pallas: Optional[bool] = None,
     tap: bool = True,
+    compute_logits: bool = True,
 ) -> Dict[str, Any]:
     """Full multimodal forward (training / prefill).
 
@@ -249,6 +250,7 @@ def vlm_forward(
         tap_layers=taps,
         remat=remat,
         use_pallas=use_pallas,
+        compute_logits=compute_logits,
     )
     out["tap_layers"] = taps
     out["image_features"] = image_features

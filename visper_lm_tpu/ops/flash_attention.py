@@ -173,6 +173,9 @@ def _fwd(
             jax.ShapeDtypeStruct((b, nq, t, h), q.dtype),
             jax.ShapeDtypeStruct((b, nq, t, STAT_LANES), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(kv_lengths.astype(jnp.int32), q, k, v)
     return out, lse
@@ -324,6 +327,9 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             scratch_shapes=[pltpu.VMEM((bq_, h), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b, nq, t, h), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(kvlen, q, k, v, do, lse, delta)
 
@@ -353,6 +359,9 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
             jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(kvlen, q, k, v, do, lse, delta)
 

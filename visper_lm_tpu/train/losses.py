@@ -20,6 +20,7 @@ Conscious non-replications (flagged in SURVEY.md §7):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -41,6 +42,50 @@ def ntp_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
+
+
+def ntp_loss_chunked(
+    hidden: jax.Array,           # (B, T, D) final-normed decoder states
+    lm_head_kernel: jax.Array,   # (D, V)
+    labels: jax.Array,           # (B, T)
+    chunk: int = 256,
+) -> jax.Array:
+    """Shifted CE WITHOUT materializing the full (B, T, V) logits tensor.
+
+    Needed for the 8B flagship: vocab 128256 x 4096 tokens in f32 is ~8.4 GB that
+    the standard path would materialize twice (fwd + bwd). Scans over sequence
+    chunks; each chunk's logits live only inside its (rematerialized) scan step.
+    """
+    b, t, d = hidden.shape
+    shift_h = hidden[:, :-1]
+    shift_labels = labels[:, 1:]
+    n = t - 1
+    pad = (-n) % chunk
+    if pad:
+        shift_h = jnp.pad(shift_h, ((0, 0), (0, pad), (0, 0)))
+        shift_labels = jnp.pad(
+            shift_labels, ((0, 0), (0, pad)), constant_values=constants.IGNORE_INDEX
+        )
+    n_chunks = (n + pad) // chunk
+    h_chunks = shift_h.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    l_chunks = shift_labels.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def chunk_nll(carry, xs):
+        h, lab = xs
+        logits = jnp.dot(h, lm_head_kernel).astype(jnp.float32)   # (B, chunk, V)
+        valid = lab != constants.IGNORE_INDEX
+        safe = jnp.where(valid, lab, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, logz - gold, 0.0)
+        tot, cnt = carry
+        return (tot + jnp.sum(nll), cnt + jnp.sum(valid)), None
+
+    (total, count), _ = jax.lax.scan(
+        chunk_nll, (jnp.float32(0.0), jnp.int32(0)), (h_chunks, l_chunks)
+    )
+    return total / jnp.maximum(count, 1)
 
 
 def smooth_l1(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:

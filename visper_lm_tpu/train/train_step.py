@@ -30,7 +30,7 @@ from visper_lm_tpu.models.vlm import (
 )
 from visper_lm_tpu.parallel import sharding as shd
 from visper_lm_tpu.parallel.mesh import DATA_AXIS
-from visper_lm_tpu.train.losses import distill_losses, ntp_loss
+from visper_lm_tpu.train.losses import distill_losses, ntp_loss, ntp_loss_chunked
 from visper_lm_tpu.train.optimizer import OptimizerConfig, make_optimizer
 
 
@@ -70,9 +70,25 @@ def make_loss_fn(
     compile payloads/times (observed: remote-compile HTTP 413 at GB-scale consts).
     """
 
+    # chunked CE when the full logits tensor would be huge (8B flagship: 128k
+    # vocab x 4k tokens in f32 is ~8 GB materialized twice by the standard path)
+    seq_len_hint = cfg.decoder.max_seq_len
+    use_chunked_ce = cfg.decoder.vocab_size * seq_len_hint >= 2 ** 28
+
     def loss_fn(params, batch, teacher_params=None):
-        out = vlm_forward(params, cfg, batch, remat=remat, use_pallas=use_pallas)
-        text_loss = ntp_loss(out["logits"], batch["labels"])
+        out = vlm_forward(
+            params, cfg, batch, remat=remat, use_pallas=use_pallas,
+            compute_logits=not use_chunked_ce,
+        )
+        if use_chunked_ce:
+            head = (
+                params["decoder"]["embed_tokens"]["embedding"].T
+                if cfg.decoder.tie_embeddings
+                else params["decoder"]["lm_head"]["kernel"]
+            )
+            text_loss = ntp_loss_chunked(out["hidden"], head, batch["labels"])
+        else:
+            text_loss = ntp_loss(out["logits"], batch["labels"])
         metrics: Dict[str, jax.Array] = {"text_loss": text_loss}
         total = text_loss
 
