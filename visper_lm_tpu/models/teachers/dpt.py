@@ -115,8 +115,9 @@ def dpt_forward(
 
 def normalized_depth(params: Params, features: Sequence[jax.Array]) -> jax.Array:
     """Min-max normalized depth map, as logged/visualized by the reference
-    (base_ola_vlm.py:354-358, 461-470)."""
-    depth = dpt_forward(params, features)
+    (base_ola_vlm.py:354-358, 461-470). Patch grid inferred from the token count."""
+    side = int(round(features[0].shape[1] ** 0.5))
+    depth = dpt_forward(params, features, patch_h=side, patch_w=side)
     mn = jnp.min(depth, axis=(1, 2), keepdims=True)
     mx = jnp.max(depth, axis=(1, 2), keepdims=True)
     return (depth - mn) / jnp.maximum(mx - mn, 1e-8)

@@ -98,6 +98,7 @@ def train(
     teacher_params=None,
     use_pallas: Optional[bool] = None,
     log_sinks: Iterable[Callable] = (),
+    step_hooks: Iterable[Callable] = (),
 ) -> Any:
     """Run the training loop; returns the final TrainState.
 
@@ -158,6 +159,12 @@ def train(
 
                 if step % trainer_cfg.save_steps == 0:
                     ckpt.save(step, state, cfg)
+
+                for hook in step_hooks:
+                    try:
+                        hook(step, state, dbatch)
+                    except Exception as e:  # viz must never kill training
+                        print(f"step hook failed at {step}: {e}")
 
                 if preempted["flag"]:
                     ckpt.save(step, state, cfg)
