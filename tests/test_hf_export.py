@@ -1,0 +1,51 @@
+"""Round-trip: export our params to HF format, re-import, logits identical."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from visper_lm_tpu.checkpoint.hf_export import export_vlm, save_safetensors
+from visper_lm_tpu.checkpoint.hf_import import import_vlm, load_safetensors, to_jax
+from visper_lm_tpu.config import tiny_test_vlm
+from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
+from visper_lm_tpu.data.collate import build_splice_plan, collate_plans
+from visper_lm_tpu.models.vlm import init_vlm, vlm_forward
+
+
+def test_export_import_roundtrip(tmp_path):
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+
+    sd = export_vlm(params, cfg)
+    path = str(tmp_path / "model.safetensors")
+    save_safetensors(sd, path)
+
+    restored = to_jax(import_vlm(load_safetensors(path), cfg), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    plans = [
+        build_splice_plan(
+            [1, 2, IMAGE_TOKEN_INDEX, 7, 8, 9], None, 32,
+            num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens, num_tasks=3,
+        )
+    ]
+    batch = collate_plans(plans, images=rng.normal(size=(1, 28, 28, 3)).astype(np.float32))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    a = vlm_forward(params, cfg, batch, use_pallas=False)
+    b = vlm_forward(restored, cfg, batch, use_pallas=False)
+    np.testing.assert_allclose(
+        np.array(a["logits"]), np.array(b["logits"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.array(a["taps"]), np.array(b["taps"]), rtol=2e-5, atol=2e-5
+    )
+
+    # the exported dict carries the reference's key surface
+    assert "model.mm_projector.0.weight" in sd
+    assert "model.special_depth_tokens" in sd
+    assert "image_gen_heads.0.projector.proj_in.weight" in sd
+    assert "gen_logit_scale" in sd
+    assert any(k.startswith("model.vision_tower.vision_tower.vision_model.") for k in sd)
