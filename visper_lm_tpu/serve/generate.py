@@ -41,6 +41,10 @@ class GenerationConfig:
     eos_token_ids: Tuple[int, ...] = ()
     stop_strings: Tuple[str, ...] = ()
     pad_to: Optional[int] = None      # static prompt bucket; default next mult of 128
+    # tokens decoded per jitted call (lax.scan on device). Host round-trips through
+    # the runtime happen once per chunk instead of once per token; stop conditions
+    # are evaluated at chunk boundaries (over-generated tokens are trimmed).
+    decode_chunk: int = 16
 
 
 def left_pad_plans(plans: Sequence[SplicePlan], pad_to: int) -> Dict[str, np.ndarray]:
@@ -97,7 +101,9 @@ class Generator:
         self.gen_cfg = gen_cfg
         self.batch_size = batch_size
         self.prompt_len = prompt_len
-        self.max_len = prompt_len + gen_cfg.max_new_tokens
+        chunk = max(gen_cfg.decode_chunk, 1)
+        n_chunks = -(-gen_cfg.max_new_tokens // chunk)
+        self.max_len = prompt_len + n_chunks * chunk + 1
         self.cache_dtype = cache_dtype
         self._prefill = jax.jit(self._prefill_impl)
         self._step = jax.jit(self._step_impl)
@@ -130,20 +136,28 @@ class Generator:
         return next_logits, out["cache"]
 
     def _step_impl(self, params, cache, token, step, offsets, key):
+        """Decode gen_cfg.decode_chunk tokens in one compiled call (device scan)."""
         cfg = self.cfg
-        emb = dec.embed_tokens(params["decoder"], token[:, None])
-        slot = self.prompt_len + step
-        positions = (self.prompt_len - offsets + step)[:, None]
-        out = dec.decoder_forward(
-            params["decoder"], cfg.decoder, emb,
-            positions=positions,
-            kv_lengths=jnp.full((self.batch_size,), 1, jnp.int32) * 0 + slot + 1,
-            kv_starts=offsets,
-            cache=cache, q_offset=slot, tap_layers=(),
-        )
-        logits = out["logits"][:, 0]
-        next_token = _sample_tokens(logits, self.gen_cfg, key)
-        return next_token, out["cache"]
+        chunk = max(self.gen_cfg.decode_chunk, 1)
+
+        def body(carry, subkey):
+            cache, token, step_ = carry
+            emb = dec.embed_tokens(params["decoder"], token[:, None])
+            slot = self.prompt_len + step_
+            positions = (self.prompt_len - offsets + step_)[:, None]
+            out = dec.decoder_forward(
+                params["decoder"], cfg.decoder, emb,
+                positions=positions,
+                kv_lengths=jnp.full((self.batch_size,), slot + 1, jnp.int32),
+                kv_starts=offsets,
+                cache=cache, q_offset=slot, tap_layers=(),
+            )
+            next_token = _sample_tokens(out["logits"][:, 0], self.gen_cfg, subkey)
+            return (out["cache"], next_token, step_ + 1), next_token
+
+        keys = jax.random.split(key, chunk)
+        (cache, _, _), tokens = jax.lax.scan(body, (cache, token, step), keys)
+        return tokens, cache  # tokens: (chunk, B)
 
     def generate(
         self,
@@ -168,27 +182,39 @@ class Generator:
         outputs: List[List[int]] = [[] for _ in range(self.batch_size)]
         finished = np.zeros((self.batch_size,), dtype=bool)
 
-        for step in range(gen_cfg.max_new_tokens):
-            toks = np.asarray(token)
-            for i in range(self.batch_size):
-                if not finished[i]:
-                    outputs[i].append(int(toks[i]))
-                    if int(toks[i]) in eos:
-                        finished[i] = True
-            if streamer is not None:
-                streamer(toks, finished.copy())
+        def absorb(toks_np: np.ndarray) -> None:
+            """toks_np: (n, B) tokens to append, respecting finished/eos/limits."""
+            for row in toks_np:
+                for i in range(self.batch_size):
+                    if not finished[i] and len(outputs[i]) < gen_cfg.max_new_tokens:
+                        outputs[i].append(int(row[i]))
+                        if int(row[i]) in eos:
+                            finished[i] = True
+                if streamer is not None:
+                    streamer(row, finished.copy())
             if gen_cfg.stop_strings and tokenizer is not None:
                 for i in range(self.batch_size):
                     if not finished[i]:
                         text = tokenizer.decode(outputs[i], skip_special_tokens=False)
                         if any(s in text for s in gen_cfg.stop_strings):
                             finished[i] = True
-            if finished.all() or step == gen_cfg.max_new_tokens - 1:
-                break
+
+        absorb(np.asarray(token)[None])
+        step = 0
+
+        def _need_more() -> bool:
+            lens = [len(o) for i, o in enumerate(outputs) if not finished[i]]
+            return bool(lens) and max(lens) < gen_cfg.max_new_tokens
+
+        while _need_more():
             key, sub = jax.random.split(key)
-            token, cache = self._step(
+            chunk_tokens, cache = self._step(
                 params, cache, token, jnp.int32(step), offsets, sub
             )
+            toks_np = np.asarray(chunk_tokens)      # (chunk, B)
+            token = chunk_tokens[-1]
+            step += toks_np.shape[0]
+            absorb(toks_np)
 
         # strip trailing eos and anything after stop strings (host-side cleanup)
         if gen_cfg.stop_strings and tokenizer is not None:
