@@ -68,17 +68,47 @@ def _masked_scores(s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b)
 # ---------------------------------------------------------------------------
 
 
+def _causal_pairs(nq_blk: int, nk_blk: int, bq: int, bk: int):
+    """q-major (qi, kj) pairs covering only kv blocks at/below the causal diagonal.
+
+    Returns (qi_of, kj_of, last_of) int32 arrays; last_of marks the final kv step of
+    each q block. Grid-squashing: the skipped upper-triangle blocks never get DMA'd
+    or iterated at all (vs predication, which still pays the copies).
+    """
+    import numpy as _np
+
+    qi_of, kj_of, last_of = [], [], []
+    for qi in range(nq_blk):
+        kj_max = min((qi * bq + bq - 1) // bk, nk_blk - 1)
+        for kj in range(kj_max + 1):
+            qi_of.append(qi)
+            kj_of.append(kj)
+            last_of.append(1 if kj == kj_max else 0)
+    return (
+        _np.asarray(qi_of, _np.int32),
+        _np.asarray(kj_of, _np.int32),
+        _np.asarray(last_of, _np.int32),
+    )
+
+
 def _fwd_kernel(
     kvlen_ref,
     q_ref, k_ref, v_ref,
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
+    qi_ref=None, kj_ref=None, last_ref=None,
 ):
     b = pl.program_id(0)
-    qi = pl.program_id(2)
-    kj = pl.program_id(3)
-    n_kv = pl.num_programs(3)
+    if qi_ref is not None:
+        p_idx = pl.program_id(2)
+        qi = qi_ref[p_idx]
+        kj = kj_ref[p_idx]
+        is_last = last_ref[p_idx] == 1
+    else:
+        qi = pl.program_id(2)
+        kj = pl.program_id(3)
+        is_last = kj == pl.num_programs(3) - 1
 
     @pl.when(kj == 0)
     def _init():
@@ -88,26 +118,35 @@ def _fwd_kernel(
 
     q_start = qi * bq
     k_start = kj * bk
-    needed = (k_start <= q_start + bq - 1) if causal else (kj >= 0)
+    # with a squashed grid every iteration is needed; otherwise predicate causal
+    needed = (k_start <= q_start + bq - 1) if (causal and qi_ref is None) else (kj >= 0)
 
     @pl.when(needed)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale     # (bq, H)
-        k = k_ref[0, 0].astype(jnp.float32)             # (bk, H)
-        v = v_ref[0, 0].astype(jnp.float32)             # (bk, H)
+        # keep matmul inputs in their native (bf16) dtype: the MXU multiplies bf16
+        # at full rate with f32 accumulation; upcasting inputs to f32 forces the
+        # slow f32 path. The scale folds into the f32 scores instead.
+        q = q_ref[0, 0]                                  # (bq, H)
+        k = k_ref[0, 0]                                  # (bk, H)
+        v = v_ref[0, 0]                                  # (bk, H)
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        s, mask = _masked_scores(
-            s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
-        )
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        # NOTE: an interior-block fast path via lax.cond was measured SLOWER on
+        # Mosaic (29 vs 35 TFLOP/s) — branches serialize; keep unconditional masking.
+        if causal or use_kvlen:
+            s, _ = _masked_scores(
+                s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
+            )
 
         m_prev = m_ref[:]                                # (bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)        # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
         # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
         safe_m = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        # masked entries carry s == NEG_INF, so exp underflows to exactly 0 — no
+        # explicit select pass over the tile is needed (incl. fully-masked rows,
+        # where safe_m == 0 keeps the argument at NEG_INF)
         p = jnp.exp(s - safe_m)
-        p = jnp.where(mask, p, 0.0)
 
         alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))  # (bq,1)
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
@@ -116,7 +155,7 @@ def _fwd_kernel(
         )
         m_ref[:] = m_new
 
-    @pl.when(kj == n_kv - 1)
+    @pl.when(is_last)
     def _finalize():
         l = l_ref[:]                                     # (bq, 1)
         inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
@@ -140,28 +179,62 @@ def _fwd(
     if kv_lengths is None:
         kv_lengths = jnp.full((b,), s, dtype=jnp.int32)
 
-    grid = (b, nq, t // bq, s // bk)
+    squash = causal and t == s and (t // bq) * (s // bk) > 1
 
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk, use_kvlen=use_kvlen
-    )
+    common = dict(scale=scale, causal=causal, bq=bq, bk=bk, use_kvlen=use_kvlen)
+    if squash:
+        qi_of, kj_of, last_of = _causal_pairs(t // bq, s // bk, bq, bk)
+        grid = (b, nq, len(qi_of))
+
+        def kernel(kvlen_ref, qi_ref, kj_ref, last_ref, *args):
+            return _fwd_kernel(
+                kvlen_ref, *args, **common,
+                qi_ref=qi_ref, kj_ref=kj_ref, last_ref=last_ref,
+            )
+
+        def q_map(b_, h_, p, kvlen, qio, kjo, lasto):
+            return (b_, h_, qio[p], 0)
+
+        def kv_map(b_, h_, p, kvlen, qio, kjo, lasto):
+            return (b_, h_ // g, kjo[p], 0)
+
+        def lse_map(b_, h_, p, kvlen, qio, kjo, lasto):
+            return (b_, h_, qio[p], 0)
+
+        scalar_args = (
+            kv_lengths.astype(jnp.int32),
+            jnp.asarray(qi_of), jnp.asarray(kj_of), jnp.asarray(last_of),
+        )
+        num_scalar = 4
+    else:
+        grid = (b, nq, t // bq, s // bk)
+        kernel = functools.partial(_fwd_kernel, **common)
+
+        def q_map(b_, h_, qi, kj, *refs):
+            return (b_, h_, qi, 0)
+
+        def kv_map(b_, h_, qi, kj, *refs):
+            return (b_, h_ // g, kj, 0)
+
+        def lse_map(b_, h_, qi, kj, *refs):
+            return (b_, h_, qi, 0)
+
+        scalar_args = (kv_lengths.astype(jnp.int32),)
+        num_scalar = 1
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=num_scalar,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bk, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
-                pl.BlockSpec((1, 1, bk, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
+                pl.BlockSpec((1, 1, bq, h), q_map),
+                pl.BlockSpec((1, 1, bk, h), kv_map),
+                pl.BlockSpec((1, 1, bk, h), kv_map),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, bq, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec(
-                    (1, 1, bq, STAT_LANES),
-                    lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0),
-                ),
+                pl.BlockSpec((1, 1, bq, h), q_map),
+                pl.BlockSpec((1, 1, bq, STAT_LANES), lse_map),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, h), jnp.float32),
@@ -174,10 +247,12 @@ def _fwd(
             jax.ShapeDtypeStruct((b, nq, t, STAT_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+            if squash
+            else ("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lengths.astype(jnp.int32), q, k, v)
+    )(*scalar_args, q, k, v)
     return out, lse
 
 
@@ -188,7 +263,7 @@ def _fwd(
 
 def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
                  use_kvlen, kvlen_ref, b):
-    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     s, mask = _masked_scores(
         s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
     )
@@ -221,10 +296,10 @@ def _bwd_dq_kernel(
 
     @pl.when(needed)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse_col = lse_ref[0, 0][:, :1]                   # (bq, 1)
         delta_col = delta_ref[0, 0][:, :1]               # (bq, 1)
 
@@ -234,7 +309,9 @@ def _bwd_dq_kernel(
         )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta_col)
-        dq_acc[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_acc[:] += scale * jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
 
     @pl.when(kj == n_kv - 1)
     def _finalize():
@@ -264,10 +341,10 @@ def _bwd_dkv_kernel(
 
     @pl.when(needed)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse_col = lse_ref[0, 0][:, :1]
         delta_col = delta_ref[0, 0][:, :1]
 
@@ -275,10 +352,14 @@ def _bwd_dkv_kernel(
             q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
             use_kvlen, kvlen_ref, b,
         )
-        dv_acc[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dv_acc[:] += jnp.dot(
+            p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
+        )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta_col)
-        dk_acc[:] += scale * jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dk_acc[:] += scale * jnp.dot(
+            ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )
 
     @pl.when(qi == n_q - 1)
     def _finalize():
