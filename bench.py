@@ -7,12 +7,13 @@ and its MI300X recipe cannot run here, so vs_baseline is measured against the va
 recorded in bench_baseline.json (committed at the first real-TPU measurement); later
 rounds show progress as a ratio >= 1.0.
 
-Workload: one full PT-stage training step — vision tower (CLIP-ViT-L topology) +
-projector + 1B-scale decoder (bf16, Pallas flash attention, remat) + task tokens +
-all three distillation heads + NTP + smooth-L1 + contrastive losses + AdamW update
-on the trainable subset — jitted as a single graph, batch 8 x 2048 tokens per chip.
+Workload: one full PT-stage training step on the REAL flagship config #1 —
+Phi3-mini-4k (3.8B) decoder + CLIP-ViT-L/14-336 tower + mlp2x projector + task
+tokens + all three distillation heads (bf16, Pallas flash attention, remat) + NTP +
+smooth-L1 + contrastive losses + AdamW on the trainable subset — one jitted graph,
+batch 4 x 1024 tokens per chip (HBM-fit for 4.26B total params on one v5e).
 
-Usage: python bench.py [--smoke] [--steps N] [--batch B]
+Usage: python bench.py [--smoke] [--steps N] [--batch B] [--seq T]
 """
 
 from __future__ import annotations
@@ -39,30 +40,11 @@ def build_bench_cfg(smoke: bool):
     if smoke:
         return tiny_test_vlm(distill=True)
 
-    decoder = DecoderConfig(
-        vocab_size=32064,
-        hidden_size=2048,
-        num_layers=16,
-        num_heads=16,
-        num_kv_heads=8,
-        head_dim=128,
-        mlp_dim=5632,
-        rope_theta=10000.0,
-        max_seq_len=2048,
-        family="llama",
-        dtype="bfloat16",
-    )
-    return VLMConfig(
-        decoder=decoder,
-        vision=CLIP_VIT_L_336,
-        projector=ProjectorConfig(input_dim=1024, output_dim=2048),
-        # reference layer-indices DSL rescaled from the 32-layer recipe
-        # (d18-20_s10-18_g12-20) to this 16-layer bench decoder
-        distill=make_distill_config(layer_indices="d9-10_s5-9_g6-10"),
-        conv_template="llava_llama_3",
-        num_sys_tokens=38,
-        num_image_tokens=576,
-    )
+    # the real flagship: Phi3-mini-4k + CLIP-ViT-L with the reference's shipped
+    # distillation recipe (pretrain.sh: d18-20_s10-18_g12-20, 8 task tokens)
+    from visper_lm_tpu.config import phi3_clip_vlm
+
+    return phi3_clip_vlm(distill=True)
 
 
 def build_batch(cfg, batch_size: int, seq_len: int):
@@ -103,9 +85,9 @@ def build_batch(cfg, batch_size: int, seq_len: int):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
-    parser.add_argument("--steps", type=int, default=10)
-    parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--seq", type=int, default=2048)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--seq", type=int, default=1024)
     args = parser.parse_args()
 
     if args.smoke:

@@ -55,37 +55,49 @@ def init_kv_cache(
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
-def init_block(key: jax.Array, cfg: DecoderConfig, dtype) -> Params:
-    ks = jax.random.split(key, 7)
-    h, nh, nkv, hd, m = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.mlp_dim
-    return {
-        "attn_norm": init_rmsnorm(h, dtype),
-        "q_proj": init_linear(ks[0], h, nh * hd, use_bias=False, dtype=dtype),
-        "k_proj": init_linear(ks[1], h, nkv * hd, use_bias=False, dtype=dtype),
-        "v_proj": init_linear(ks[2], h, nkv * hd, use_bias=False, dtype=dtype),
-        "o_proj": init_linear(ks[3], nh * hd, h, use_bias=False, dtype=dtype),
-        "mlp_norm": init_rmsnorm(h, dtype),
-        "gate_proj": init_linear(ks[4], h, m, use_bias=False, dtype=dtype),
-        "up_proj": init_linear(ks[5], h, m, use_bias=False, dtype=dtype),
-        "down_proj": init_linear(ks[6], m, h, use_bias=False, dtype=dtype),
-    }
+def _stacked_linear(key: jax.Array, L: int, din: int, dout: int, dtype) -> Params:
+    """(L, din, dout) kernel initialized in ONE low-precision random call.
+
+    Per-layer f32 init + tree stacking peaks at ~3x the final weight footprint on
+    device — at 8B scale that alone exceeds HBM. Generate stacked and in-dtype.
+    """
+    import math
+
+    scale = 1.0 / math.sqrt(din)
+    kernel = jax.random.uniform(
+        key, (L, din, dout), dtype=dtype, minval=-scale, maxval=scale
+    )
+    return {"kernel": kernel}
 
 
 def init_decoder(key: jax.Array, cfg: DecoderConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
-    keys = jax.random.split(key, cfg.num_layers + 3)
-    blocks = stack_layer_params(
-        [init_block(keys[i], cfg, dtype) for i in range(cfg.num_layers)]
+    ks = jax.random.split(key, 10)
+    L = cfg.num_layers
+    h, nh, nkv, hd, m = (
+        cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.mlp_dim
     )
+    blocks: Params = {
+        "attn_norm": {"scale": jnp.ones((L, h), dtype)},
+        "q_proj": _stacked_linear(ks[0], L, h, nh * hd, dtype),
+        "k_proj": _stacked_linear(ks[1], L, h, nkv * hd, dtype),
+        "v_proj": _stacked_linear(ks[2], L, h, nkv * hd, dtype),
+        "o_proj": _stacked_linear(ks[3], L, nh * hd, h, dtype),
+        "mlp_norm": {"scale": jnp.ones((L, h), dtype)},
+        "gate_proj": _stacked_linear(ks[4], L, h, m, dtype),
+        "up_proj": _stacked_linear(ks[5], L, h, m, dtype),
+        "down_proj": _stacked_linear(ks[6], L, m, h, dtype),
+    }
     params: Params = {
-        "embed_tokens": init_embedding(keys[-3], cfg.vocab_size, cfg.hidden_size, dtype),
+        "embed_tokens": {
+            "embedding": jax.random.normal(ks[7], (cfg.vocab_size, h), dtype) * 0.02
+        },
         "blocks": blocks,
-        "final_norm": init_rmsnorm(cfg.hidden_size, dtype),
+        "final_norm": init_rmsnorm(h, dtype),
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = init_linear(
-            keys[-2], cfg.hidden_size, cfg.vocab_size, use_bias=False, dtype=dtype
-        )
+        params["lm_head"] = _stacked_linear(ks[8], 1, h, cfg.vocab_size, dtype)
+        params["lm_head"]["kernel"] = params["lm_head"]["kernel"][0]
     return params
 
 
@@ -176,48 +188,76 @@ def decoder_forward(
 
     num_taps = len(tap_layers)
     if num_taps:
-        # out-of-range taps would be silently dropped by the scatter, leaving
-        # all-zero tap buffers whose downstream losses NaN in backward — fail loud
+        # out-of-range taps would silently produce wrong segmentation — fail loud
         assert max(tap_layers) < cfg.num_layers, (
             f"tap layers {tap_layers} out of range for {cfg.num_layers}-layer decoder"
         )
-    # slot index per layer (-1 = not tapped); static metadata scanned as xs.
-    slot_per_layer = -jnp.ones((cfg.num_layers,), dtype=jnp.int32)
-    for i, layer in enumerate(tap_layers):
-        slot_per_layer = slot_per_layer.at[layer].set(i)
-
-    taps0 = jnp.zeros((max(num_taps, 1), b, t, d), dtype=inputs_embeds.dtype)
+        assert cache is None, "layer taps are a training/prefill feature (no cache)"
 
     has_cache = cache is not None
 
     def body(carry, xs):
-        h, taps = carry
+        h = carry
         if has_cache:
-            block, slot, ck, cv = xs
+            block, ck, cv = xs
         else:
-            block, slot = xs
+            block = xs
             ck = cv = None
         cache_kv = (ck, cv) if has_cache else None
         h, new_cache = _block_forward(
             block, cfg, h, cos, sin, kv_lengths, q_offset, cache_kv, use_pallas,
             kv_starts,
         )
-        if num_taps > 0:
-            write_slot = jnp.maximum(slot, 0)
-            updated = jax.lax.dynamic_update_index_in_dim(taps, h, write_slot, axis=0)
-            taps = jnp.where(slot >= 0, updated, taps)
         if has_cache:
-            return (h, taps), new_cache
-        return (h, taps), None
+            return h, new_cache
+        return h, None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
 
-    xs = (params["blocks"], slot_per_layer)
-    if has_cache:
-        xs = xs + (cache.k, cache.v)
+    if num_taps > 0:
+        # Tap layers SEGMENT the scan: each tapped block output is a segment
+        # boundary, so taps cost zero extra activation memory. (An earlier design
+        # carried a (num_taps, B, T, D) buffer through the scan; under remat that
+        # buffer is saved per layer — O(num_taps * L) memory, OOM at 4B scale.)
+        # Segments scan over LAYER INDICES and gather each block from the full
+        # stacked tree — slicing the stacked weights per segment would materialize
+        # weight copies (compile-time OOM at 4B scale).
+        def body_idx(h, i):
+            block = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+                params["blocks"],
+            )
+            h, _ = _block_forward(
+                block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
+                kv_starts,
+            )
+            return h, None
 
-    (h, taps), ys = jax.lax.scan(body, (inputs_embeds, taps0), xs)
+        if remat:
+            body_idx = jax.checkpoint(body_idx, prevent_cse=False)
+
+        boundaries = sorted(set(tap_layers))
+        by_layer = {}
+        h = inputs_embeds
+        starts = [0] + [l + 1 for l in boundaries]
+        ends = [l + 1 for l in boundaries] + [cfg.num_layers]
+        for seg_start, seg_end in zip(starts, ends):
+            if seg_start == seg_end:
+                continue
+            h, _ = jax.lax.scan(
+                body_idx, h, jnp.arange(seg_start, seg_end, dtype=jnp.int32)
+            )
+            if seg_end - 1 in boundaries:
+                by_layer[seg_end - 1] = h
+        taps = jnp.stack([by_layer[l] for l in tap_layers], axis=0)
+        ys = None
+    else:
+        xs = params["blocks"]
+        if has_cache:
+            xs = (params["blocks"], cache.k, cache.v)
+        h, ys = jax.lax.scan(body, inputs_embeds, xs)
+        taps = None
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
     out: Dict[str, Any] = {"hidden": hidden}
