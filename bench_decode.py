@@ -1,0 +1,80 @@
+"""Secondary benchmark: batched greedy decode throughput (tokens/sec).
+
+Not wired into the driver (bench.py is the headline metric); run manually:
+    python bench_decode.py [--batch 8] [--prompt 768] [--new 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--prompt", type=int, default=768)
+    p.add_argument("--new", type=int, default=64)
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.config import phi3_clip_vlm, tiny_test_vlm
+    from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.serve.generate import GenerationConfig, Generator, left_pad_plans
+
+    cfg = tiny_test_vlm(distill=True) if args.smoke else phi3_clip_vlm(distill=True)
+    B = 2 if args.smoke else args.batch
+    prompt = 64 if args.smoke else args.prompt
+    new = 8 if args.smoke else args.new
+
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    plans = [
+        build_splice_plan(
+            list(rng.integers(3, cfg.decoder.vocab_size - 10, size=cfg.num_sys_tokens))
+            + [IMAGE_TOKEN_INDEX]
+            + list(rng.integers(3, cfg.decoder.vocab_size - 10, size=16 + b)),
+            None, prompt,
+            num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens,
+            num_tasks=len(cfg.distill.task_order()),
+        )
+        for b in range(B)
+    ]
+    batch = left_pad_plans(plans, prompt)
+    size = cfg.vision.image_size
+    batch["images"] = rng.normal(size=(B, size, size, 3)).astype(np.float32)
+
+    gen = Generator(params, cfg, GenerationConfig(max_new_tokens=new), B, prompt)
+    out = gen.generate(dict(batch))                      # compile
+    t0 = time.perf_counter()
+    out = gen.generate(dict(batch))
+    dt = time.perf_counter() - t0
+    n_tok = sum(len(o) for o in out)
+    print(
+        json.dumps(
+            {
+                "metric": "greedy_decode_tokens_per_sec",
+                "value": round(n_tok / dt, 2),
+                "unit": "tokens/s",
+                "batch": B,
+                "tokens_per_sec_per_seq": round(n_tok / dt / B, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
