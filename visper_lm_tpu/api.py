@@ -32,9 +32,7 @@ from visper_lm_tpu.constants import DEFAULT_IMAGE_TOKEN
 from visper_lm_tpu.data.collate import build_splice_plan
 from visper_lm_tpu.data.mm_utils import process_images, tokenizer_image_token
 from visper_lm_tpu.models.vlm import (
-    encode_images,
-    predict_task_embeddings,
-    tap_layer_union,
+        predict_task_embeddings,
     vlm_forward,
 )
 from visper_lm_tpu.serve.generate import GenerationConfig, Generator, left_pad_plans

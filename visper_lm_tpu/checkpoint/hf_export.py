@@ -8,7 +8,6 @@ Phi3's fused qkv/gate_up re-packing and the torch (out, in) Linear convention.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict
 

@@ -14,7 +14,7 @@ n_tiles*576). Index plans reference that layout.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

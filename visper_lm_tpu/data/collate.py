@@ -21,7 +21,7 @@ get IGNORE labels (ola_arch.py:375-429); sequences are truncated to max_len
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import ast
 import math
-from io import BytesIO
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from PIL import Image

@@ -21,7 +21,7 @@ turn, separated by a newline.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

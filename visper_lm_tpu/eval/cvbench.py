@@ -19,7 +19,7 @@ import json
 import math
 import os
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 PROMPT_SUFFIX = (
     "\nOnly answer the option as the output. For example, if your answer is the "

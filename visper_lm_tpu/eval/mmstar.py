@@ -14,7 +14,7 @@ import argparse
 import copy
 import json
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 PROMPT_SUFFIX = (
     "\nAnswer with the option's letter from the given choices directly, "

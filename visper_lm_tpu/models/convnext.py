@@ -14,7 +14,7 @@ block).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -7,11 +7,12 @@ TPU-first design choices (vs the reference's HF LlamaModel/Phi3Model usage,
     `lax.scan`, so XLA compiles one block body regardless of depth and rematerializes
     cleanly under `jax.checkpoint`.
   * Layer taps: the reference materializes all 33 hidden states
-    (output_hidden_states=True) to slice 2-6 of them. We carry a small
-    (num_taps, B, T, D) buffer through the scan and each layer writes its output into
-    its statically-assigned slot (or not) — O(num_taps) memory instead of O(L).
-    Tap slot i holds the output of block `tap_layers[i]` (0-indexed), which equals the
-    reference's `layer_states[idx]` (hidden_states[1:][idx], see ola_llama.py:119).
+    (output_hidden_states=True) to slice 2-6 of them. Here the tapped layers SEGMENT
+    the scan — each tapped block output is a segment boundary, costing zero extra
+    activation memory; segments scan over layer indices and gather blocks from the
+    stacked tree so no weight copies are materialized either. taps[i] equals the
+    reference's `layer_states[tap_layers[i]]` (hidden_states[1:][idx],
+    ola_llama.py:119).
   * KV caches are scanned over alongside the params, giving a (L, B, S, Nkv, H) cache
     layout that shards naturally over the mesh.
 """
@@ -19,7 +20,7 @@ TPU-first design choices (vs the reference's HF LlamaModel/Phi3Model usage,
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ wiring used when num_task_tokens > 0 (all shipped PT configs).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ training sequence lengths, and it keeps the flash-attention path unchanged).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ through cv2.cvtColor(BGR2RGB) which actually CHANNEL-SWAPS an already-RGB image
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

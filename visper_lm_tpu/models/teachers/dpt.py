@@ -11,7 +11,7 @@ Layout is NHWC; all interpolations are torch-bilinear with align_corners=True
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

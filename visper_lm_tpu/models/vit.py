@@ -14,7 +14,7 @@ reshaped matmul (MXU-friendly) instead of a conv.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ slices, which `jax.experimental.mesh_utils.create_device_mesh` handles.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ sensible defaults (replicated) and hot decoder weights get TP.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Any, Dict, Optional
+from typing import Any
 
 import numpy as np
 

@@ -10,7 +10,7 @@ zero cost when disabled (SURVEY.md §5.5 recommends exactly this split).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 
