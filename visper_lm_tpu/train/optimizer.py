@@ -37,7 +37,11 @@ class OptimizerConfig:
     b2: float = 0.999
     eps: float = 1e-8
     max_grad_norm: float = 1.0
-    stage: str = "pretrain"  # pretrain | finetune | vpt | probe
+    stage: str = "pretrain"  # pretrain | finetune | vpt | probe | lora
+    # Adam moments dtype: f32 by default even for bf16 params (the reference's
+    # DeepSpeed bf16 mode keeps fp32 optimizer state; bf16 moments lose small
+    # gradient accumulations over long runs)
+    mu_dtype: str = "float32"
 
 
 # path-regex -> group; first match wins
@@ -133,6 +137,7 @@ def make_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransform
                 b1=cfg.b1,
                 b2=cfg.b2,
                 eps=cfg.eps,
+                mu_dtype=jnp.dtype(cfg.mu_dtype),
                 weight_decay=cfg.weight_decay,
                 mask=_decay_mask,  # callable: evaluated on the (possibly masked) tree
             ),
