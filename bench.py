@@ -7,13 +7,15 @@ and its MI300X recipe cannot run here, so vs_baseline is measured against the va
 recorded in bench_baseline.json (committed at the first real-TPU measurement); later
 rounds show progress as a ratio >= 1.0.
 
-Workload: one full PT-stage training step on the REAL flagship config #1 —
+Workload: one COMPLETE PT-stage training step on the real flagship config #1 —
 Phi3-mini-4k (3.8B) decoder + CLIP-ViT-L/14-336 tower + mlp2x projector + task
-tokens + all three distillation heads (bf16, Pallas flash attention, remat) + NTP +
-smooth-L1 + contrastive losses + AdamW on the trainable subset — one jitted graph,
-batch 4 x 1024 tokens per chip (HBM-fit for 4.26B total params on one v5e).
+tokens + all three distillation heads + the three FROZEN TEACHERS (DINOv2-L,
+Swin-L@768, CLIP-H) computing targets batched INSIDE the same compiled graph
+(the reference featurizes teachers per-image in Python) + NTP + smooth-L1 +
+contrastive losses + AdamW on the trainable subset. bf16, Pallas flash
+attention, remat; batch 4 x 1024 tokens per chip (5.4B total params on one v5e).
 
-Usage: python bench.py [--smoke] [--steps N] [--batch B] [--seq T]
+Usage: python bench.py [--smoke] [--steps N] [--batch B] [--seq T] [--no-teachers]
 """
 
 from __future__ import annotations
@@ -75,11 +77,33 @@ def build_batch(cfg, batch_size: int, seq_len: int):
     img = rng.normal(size=(batch_size, cfg.vision.image_size, cfg.vision.image_size, 3))
     batch = collate_plans(plans, images=img.astype(np.float32))
     for tcfg in cfg.distill.tasks:
-        batch[f"{tcfg.task}_target"] = rng.normal(
-            size=(batch_size, tcfg.target_tokens, tcfg.target_dim)
-        ).astype(np.float32)
         batch[f"{tcfg.task}_mask"] = np.ones((batch_size,), np.float32)
     return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def add_teacher_inputs(cfg, batch, batch_size: int):
+    """Per-teacher pixel tensors (each teacher has its own preprocessing pipeline)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    sizes = {"depth_images": 336, "gen_images": 224, "seg_images": 768}
+    for key, size in sizes.items():
+        batch[key] = jnp.asarray(
+            rng.normal(size=(batch_size, size, size, 3)).astype(np.float32)
+        )
+    return batch
+
+
+def add_random_targets(cfg, batch, batch_size: int):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    for tcfg in cfg.distill.tasks:
+        batch[f"{tcfg.task}_target"] = jnp.asarray(
+            rng.normal(size=(batch_size, tcfg.target_tokens, tcfg.target_dim))
+            .astype(np.float32)
+        )
+    return batch
 
 
 def main():
@@ -88,6 +112,8 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--seq", type=int, default=1024)
+    parser.add_argument("--no-teachers", action="store_true",
+                        help="precomputed random targets instead of in-jit teachers")
     args = parser.parse_args()
 
     if args.smoke:
@@ -108,9 +134,19 @@ def main():
     cfg = build_bench_cfg(args.smoke)
     batch_size = 4 if args.smoke else args.batch
     seq_len = 64 if args.smoke else args.seq
+    with_teachers = not (args.smoke or args.no_teachers)
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     batch = build_batch(cfg, batch_size, seq_len)
+    teacher_fn = teacher_params = None
+    if with_teachers:
+        from visper_lm_tpu.models.teachers import init_teachers, make_teacher_fn
+
+        teacher_params = init_teachers(jax.random.PRNGKey(7), cfg)
+        teacher_fn = make_teacher_fn(cfg)
+        batch = add_teacher_inputs(cfg, batch, batch_size)
+    else:
+        batch = add_random_targets(cfg, batch, batch_size)
 
     mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
     opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=1000, stage="pretrain")
@@ -118,7 +154,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     with mesh:
         step_fn, state, _ = make_train_step(
-            cfg, opt_cfg, params, mesh, use_pallas=on_tpu
+            cfg, opt_cfg, params, mesh, use_pallas=on_tpu,
+            teacher_fn=teacher_fn, teacher_params=teacher_params,
         )
         dbatch = shard_batch(batch, mesh)
 
