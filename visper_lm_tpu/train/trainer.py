@@ -43,6 +43,9 @@ class TrainerConfig:
     dp: Optional[int] = None
     tp: int = 1
     resume: bool = True
+    # device batches buffered ahead; 1 still overlaps transfer with compute while
+    # keeping only one extra batch resident (matters at HBM-edge model sizes)
+    prefetch_depth: int = 1
 
 
 class MetricsLogger:
@@ -144,7 +147,9 @@ def train(
                 batch = {k: v for k, v in batch.items() if k != "pil_images"}
                 return shard_batch(batch, mesh)
 
-            for dbatch in _Prefetcher(data_iter_fn(epoch), transfer):
+            for dbatch in _Prefetcher(
+                data_iter_fn(epoch), transfer, depth=trainer_cfg.prefetch_depth
+            ):
                 if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
                     break
                 state, metrics = step_fn(state, dbatch)
