@@ -74,3 +74,48 @@ def test_flash_backward_matches_xla(nq, nkv):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.array(a), np.array(b_), rtol=5e-4, atol=5e-5)
+
+
+def test_flash_kv_starts_left_padding():
+    """Left-pad mask: columns before kv_starts contribute nothing."""
+    b, t, n, h = 2, 256, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(ks[0], (b, t, n, h))
+    k = _rand(ks[1], (b, t, n, h))
+    v = _rand(ks[2], (b, t, n, h))
+    starts = jnp.array([64, 0], dtype=jnp.int32)
+
+    out = flash_attention(
+        q, k, v, causal=True, kv_starts=starts, interpret=True,
+        block_q=128, block_k=128,
+    )
+    # oracle: poison the padded prefix keys/values of sample 0
+    k2 = k.at[0, :64].set(1e6)
+    v2 = v.at[0, :64].set(1e6)
+    out2 = flash_attention(
+        q, k2, v2, causal=True, kv_starts=starts, interpret=True,
+        block_q=128, block_k=128,
+    )
+    np.testing.assert_allclose(
+        np.array(out[0, 64:]), np.array(out2[0, 64:]), rtol=2e-4, atol=2e-5
+    )
+    # matches the XLA path
+    ref = mha_xla(q, k, v, causal=True, kv_starts=starts)
+    np.testing.assert_allclose(
+        np.array(out[:, 64:]), np.array(ref[:, 64:]), rtol=2e-4, atol=2e-5
+    )
+
+    # gradients flow and match
+    def lf(q, k, v):
+        o = flash_attention(q, k, v, causal=True, kv_starts=starts, interpret=True,
+                            block_q=128, block_k=128)
+        return jnp.sum(jnp.sin(o[:, 64:]))
+
+    def lr(q, k, v):
+        o = mha_xla(q, k, v, causal=True, kv_starts=starts)
+        return jnp.sum(jnp.sin(o[:, 64:]))
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.array(a), np.array(b_), rtol=5e-4, atol=5e-5)

@@ -131,21 +131,24 @@ def _block_forward(
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
         new_cache = (ck, cv)
-        attn = mha_xla(
-            q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
-            kv_starts=kv_starts,
-        )
-    else:
-        if kv_starts is not None:
-            attn = mha_xla(
-                q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
-                kv_starts=kv_starts,
-            )
-        else:
+        if isinstance(q_offset, int) and q_offset == 0 and t > 1:
+            # PREFILL: the cache beyond this chunk is empty, so attention over the
+            # chunk itself is exact — eligible for the flash kernel (incl. the
+            # left-pad kv_starts mask), instead of the XLA path over the full cache.
             attn = multi_head_attention(
-                q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+                q, k, v, causal=True, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 use_pallas=use_pallas,
             )
+        else:
+            attn = mha_xla(
+                q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+                kv_starts=kv_starts,
+            )
+    else:
+        attn = multi_head_attention(
+            q, k, v, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+            kv_starts=kv_starts, use_pallas=use_pallas,
+        )
 
     attn = attn.reshape(b, t, nh * hd)
     h = h + linear(block["o_proj"], attn)

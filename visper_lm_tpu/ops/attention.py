@@ -104,6 +104,7 @@ def multi_head_attention(
     causal: bool = True,
     q_offset: int | jax.Array = 0,
     kv_lengths: Optional[jax.Array] = None,
+    kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
@@ -131,8 +132,10 @@ def multi_head_attention(
         from visper_lm_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, causal=causal, kv_lengths=kv_lengths, scale=scale
+            q, k, v, causal=causal, kv_lengths=kv_lengths, kv_starts=kv_starts,
+            scale=scale,
         )
     return mha_xla(
-        q, k, v, causal=causal, q_offset=q_offset, kv_lengths=kv_lengths, scale=scale
+        q, k, v, causal=causal, q_offset=q_offset, kv_lengths=kv_lengths,
+        kv_starts=kv_starts, scale=scale,
     )

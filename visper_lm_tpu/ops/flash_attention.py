@@ -52,7 +52,8 @@ def _block_sizes(t: int, s: int, bq: int, bk: int):
     return bq, bk
 
 
-def _masked_scores(s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b):
+def _masked_scores(s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b,
+                   use_kvstart=False, kvstart_ref=None):
     rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     mask = jnp.ones((bq, bk), dtype=jnp.bool_)
@@ -60,6 +61,8 @@ def _masked_scores(s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b)
         mask = rows >= cols
     if use_kvlen:
         mask = jnp.logical_and(mask, cols < kvlen_ref[b])
+    if use_kvstart:
+        mask = jnp.logical_and(mask, cols >= kvstart_ref[b])
     return jnp.where(mask, s, NEG_INF), mask
 
 
@@ -92,12 +95,12 @@ def _causal_pairs(nq_blk: int, nk_blk: int, bq: int, bk: int):
 
 
 def _fwd_kernel(
-    kvlen_ref,
+    kvlen_ref, kvstart_ref,
     q_ref, k_ref, v_ref,
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
-    qi_ref=None, kj_ref=None, last_ref=None,
+    use_kvstart: bool = False, qi_ref=None, kj_ref=None, last_ref=None,
 ):
     b = pl.program_id(0)
     if qi_ref is not None:
@@ -133,9 +136,10 @@ def _fwd_kernel(
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, bk)
         # NOTE: an interior-block fast path via lax.cond was measured SLOWER on
         # Mosaic (29 vs 35 TFLOP/s) — branches serialize; keep unconditional masking.
-        if causal or use_kvlen:
+        if causal or use_kvlen or use_kvstart:
             s, _ = _masked_scores(
-                s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
+                s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b,
+                use_kvstart, kvstart_ref,
             )
 
         m_prev = m_ref[:]                                # (bq, 1)
@@ -169,6 +173,7 @@ def _fwd_kernel(
 def _fwd(
     q: jax.Array, k: jax.Array, v: jax.Array,
     kv_lengths: Optional[jax.Array],
+    kv_starts: Optional[jax.Array] = None,
     *, causal: bool, scale: float, bq: int, bk: int, interpret: bool,
 ):
     b, nq, t, h = q.shape
@@ -178,34 +183,38 @@ def _fwd(
     use_kvlen = kv_lengths is not None
     if kv_lengths is None:
         kv_lengths = jnp.full((b,), s, dtype=jnp.int32)
+    use_kvstart = kv_starts is not None
+    if kv_starts is None:
+        kv_starts = jnp.zeros((b,), dtype=jnp.int32)
 
     squash = causal and t == s and (t // bq) * (s // bk) > 1
 
-    common = dict(scale=scale, causal=causal, bq=bq, bk=bk, use_kvlen=use_kvlen)
+    common = dict(scale=scale, causal=causal, bq=bq, bk=bk, use_kvlen=use_kvlen,
+                  use_kvstart=use_kvstart)
     if squash:
         qi_of, kj_of, last_of = _causal_pairs(t // bq, s // bk, bq, bk)
         grid = (b, nq, len(qi_of))
 
-        def kernel(kvlen_ref, qi_ref, kj_ref, last_ref, *args):
+        def kernel(kvlen_ref, kvstart_ref, qi_ref, kj_ref, last_ref, *args):
             return _fwd_kernel(
-                kvlen_ref, *args, **common,
+                kvlen_ref, kvstart_ref, *args, **common,
                 qi_ref=qi_ref, kj_ref=kj_ref, last_ref=last_ref,
             )
 
-        def q_map(b_, h_, p, kvlen, qio, kjo, lasto):
+        def q_map(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
             return (b_, h_, qio[p], 0)
 
-        def kv_map(b_, h_, p, kvlen, qio, kjo, lasto):
+        def kv_map(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
             return (b_, h_ // g, kjo[p], 0)
 
-        def lse_map(b_, h_, p, kvlen, qio, kjo, lasto):
+        def lse_map(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
             return (b_, h_, qio[p], 0)
 
         scalar_args = (
-            kv_lengths.astype(jnp.int32),
+            kv_lengths.astype(jnp.int32), kv_starts.astype(jnp.int32),
             jnp.asarray(qi_of), jnp.asarray(kj_of), jnp.asarray(last_of),
         )
-        num_scalar = 4
+        num_scalar = 5
     else:
         grid = (b, nq, t // bq, s // bk)
         kernel = functools.partial(_fwd_kernel, **common)
@@ -219,8 +228,8 @@ def _fwd(
         def lse_map(b_, h_, qi, kj, *refs):
             return (b_, h_, qi, 0)
 
-        scalar_args = (kv_lengths.astype(jnp.int32),)
-        num_scalar = 1
+        scalar_args = (kv_lengths.astype(jnp.int32), kv_starts.astype(jnp.int32))
+        num_scalar = 2
 
     out, lse = pl.pallas_call(
         kernel,
@@ -262,10 +271,11 @@ def _fwd(
 
 
 def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
-                 use_kvlen, kvlen_ref, b):
+                 use_kvlen, kvlen_ref, b, use_kvstart=False, kvstart_ref=None):
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     s, mask = _masked_scores(
-        s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b
+        s, q_start, k_start, bq, bk, causal, use_kvlen, kvlen_ref, b,
+        use_kvstart, kvstart_ref,
     )
     safe_lse = jnp.where(lse_col == NEG_INF, 0.0, lse_col)   # (bq, 1)
     p = jnp.exp(s - safe_lse)
@@ -275,11 +285,12 @@ def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
 
 
 def _bwd_dq_kernel(
-    kvlen_ref,
+    kvlen_ref, kvstart_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
+    use_kvstart: bool = False,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -305,7 +316,7 @@ def _bwd_dq_kernel(
 
         p = _recompute_p(
             q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
-            use_kvlen, kvlen_ref, b,
+            use_kvlen, kvlen_ref, b, use_kvstart, kvstart_ref,
         )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta_col)
@@ -319,11 +330,12 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    kvlen_ref,
+    kvlen_ref, kvstart_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool, g: int,
+    use_kvstart: bool = False,
 ):
     b = pl.program_id(0)
     kj = pl.program_id(2)
@@ -350,7 +362,7 @@ def _bwd_dkv_kernel(
 
         p = _recompute_p(
             q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
-            use_kvlen, kvlen_ref, b,
+            use_kvlen, kvlen_ref, b, use_kvstart, kvstart_ref,
         )
         dv_acc[:] += jnp.dot(
             p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
@@ -370,7 +382,7 @@ def _bwd_dkv_kernel(
 
 
 def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret: bool):
-    q, k, v, kv_lengths, out, lse = res
+    q, k, v, kv_lengths, kv_starts, out, lse = res
     do = grads[0]
     b, nq, t, h = q.shape
     nkv, s = k.shape[1], k.shape[2]
@@ -382,17 +394,24 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
         if kv_lengths is not None
         else jnp.full((b,), s, dtype=jnp.int32)
     )
+    use_kvstart = kv_starts is not None
+    kvstart = (
+        kv_starts.astype(jnp.int32)
+        if kv_starts is not None
+        else jnp.zeros((b,), dtype=jnp.int32)
+    )
 
     # delta = rowsum(dO * O); broadcast over STAT_LANES to match the lse layout
     delta3 = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta3[..., None], (b, nq, t, STAT_LANES))
 
-    common = dict(scale=scale, causal=causal, bq=bq_, bk=bk_, use_kvlen=use_kvlen)
+    common = dict(scale=scale, causal=causal, bq=bq_, bk=bk_, use_kvlen=use_kvlen,
+                  use_kvstart=use_kvstart)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b, nq, t // bq_, s // bk_),
             in_specs=[
                 pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
@@ -412,12 +431,12 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen, q, k, v, do, lse, delta)
+    )(kvlen, kvstart, q, k, v, do, lse, delta)
 
     dk_per_qh, dv_per_qh = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common, g=g),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b, nq, s // bk_, t // bq_),
             in_specs=[
                 pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
@@ -444,13 +463,13 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen, q, k, v, do, lse, delta)
+    )(kvlen, kvstart, q, k, v, do, lse, delta)
 
     # collapse query-head groups onto kv heads
     dk = dk_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(k.dtype)
     dv = dv_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(v.dtype)
 
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -458,21 +477,21 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_bhtd(q, k, v, kv_lengths, causal, scale, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_bhtd(q, k, v, kv_lengths, kv_starts, causal, scale, bq, bk, interpret):
     out, _ = _fwd(
-        q, k, v, kv_lengths, causal=causal, scale=scale, bq=bq, bk=bk,
+        q, k, v, kv_lengths, kv_starts, causal=causal, scale=scale, bq=bq, bk=bk,
         interpret=interpret,
     )
     return out
 
 
-def _flash_fwd_rule(q, k, v, kv_lengths, causal, scale, bq, bk, interpret):
+def _flash_fwd_rule(q, k, v, kv_lengths, kv_starts, causal, scale, bq, bk, interpret):
     out, lse = _fwd(
-        q, k, v, kv_lengths, causal=causal, scale=scale, bq=bq, bk=bk,
+        q, k, v, kv_lengths, kv_starts, causal=causal, scale=scale, bq=bq, bk=bk,
         interpret=interpret,
     )
-    return out, (q, k, v, kv_lengths, out, lse)
+    return out, (q, k, v, kv_lengths, kv_starts, out, lse)
 
 
 def _flash_bwd_rule(causal, scale, bq, bk, interpret, res, g):
@@ -491,12 +510,17 @@ def flash_attention(
     *,
     causal: bool = True,
     kv_lengths: Optional[jax.Array] = None,
+    kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention in the framework's BTNH convention."""
+    """Flash attention in the framework's BTNH convention.
+
+    kv_starts masks columns before a per-batch start (left padding, generation
+    prefill); kv_lengths masks columns at/after a per-batch length (right padding).
+    """
     h = q.shape[-1]
     if scale is None:
         scale = h ** -0.5
@@ -504,6 +528,7 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = _flash_bhtd(
-        qt, kt, vt, kv_lengths, causal, float(scale), block_q, block_k, interpret
+        qt, kt, vt, kv_lengths, kv_starts, causal, float(scale), block_q, block_k,
+        interpret,
     )
     return out.transpose(0, 2, 1, 3)
