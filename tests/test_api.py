@@ -38,6 +38,91 @@ def test_chat_decodes(model):
     assert all(isinstance(t, str) for t in out)
 
 
+def test_chat_anyres_tiles_and_padding():
+    """anyres chat: different image sizes -> different tile counts per sample;
+    the zero-padded tiles and the remapped newline row must not break decode."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_test_vlm(distill=False),
+        image_aspect_ratio="anyres",
+        mm_patch_merge_type="spatial_unpad",
+    )
+    params = init_vlm(jax.random.PRNGKey(1), cfg)
+    assert "image_newline" in params
+    model = VisperModel(
+        cfg=cfg, params=params, tokenizer=FakeTok(), context_len=256,
+        grid_pinpoints=[(28, 56), (56, 28), (56, 56)],
+    )
+    wide = Image.new("RGB", (80, 30), (255, 0, 0))   # lands on a wide grid
+    tall = Image.new("RGB", (30, 80), (0, 0, 255))   # lands on a tall grid
+    out = model.chat(["what color?", "what shape?"], [wide, tall], max_new_tokens=4)
+    assert len(out) == 2
+    assert all(isinstance(t, str) for t in out)
+
+
+def test_chat_anyres_plan_matches_direct_forward():
+    """The chat-path gather (padded tiles + remapped newline) must produce the
+    same prefill logits as a single-sample forward with the un-padded plan."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.data.anyres import anyres_index_plan
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.data.mm_utils import process_images, tokenizer_image_token
+    from visper_lm_tpu.models.vlm import vlm_forward
+
+    cfg = dataclasses.replace(
+        tiny_test_vlm(distill=False),
+        image_aspect_ratio="anyres",
+        mm_patch_merge_type="spatial_unpad",
+    )
+    params = init_vlm(jax.random.PRNGKey(2), cfg)
+    pinpoints = [(28, 56), (56, 28), (56, 56)]
+    img = Image.new("RGB", (80, 30), (120, 40, 200))
+    tok = FakeTok()
+    model = VisperModel(cfg=cfg, params=params, tokenizer=tok, grid_pinpoints=pinpoints)
+    prompt = model.build_prompt("what color?")
+    raw = tokenizer_image_token(prompt, tok)
+
+    tiles = process_images(
+        [img], image_aspect_ratio="anyres", image_size=cfg.vision.image_size,
+        grid_pinpoints=pinpoints,
+    )[0]
+    idx, nl = anyres_index_plan(
+        img.size, pinpoints, tile_size=cfg.vision.image_size,
+        patch_side=cfg.vision.num_patches_per_side, merge_type="spatial_unpad",
+    )
+    assert nl in idx  # unpad mode splices the newline row
+
+    def logits_for(pixels, indices, max_tiles):
+        per_tile = cfg.vision.num_patches
+        remapped = indices.copy()
+        remapped[remapped == nl] = max_tiles * per_tile
+        plan = build_splice_plan(
+            raw, None, 128,
+            num_image_tokens=cfg.num_image_tokens,
+            image_feature_indices=[remapped],
+        )
+        batch = {
+            "text_ids": jnp.asarray(plan.text_ids)[None],
+            "token_type": jnp.asarray(plan.token_type)[None],
+            "src_index": jnp.asarray(plan.src_index)[None],
+            "seq_lengths": jnp.asarray([plan.seq_length]),
+            "images": jnp.asarray(pixels, dtype=jnp.float32),
+        }
+        return np.asarray(vlm_forward(params, cfg, batch)["logits"][0])
+
+    n = tiles.shape[0]
+    exact = logits_for(tiles[None], idx, max_tiles=n)
+    # pad with two zero tiles, as the batched chat path would
+    padded = np.zeros((1, n + 2) + tiles.shape[1:], dtype=np.float32)
+    padded[0, :n] = tiles
+    via_pad = logits_for(padded, idx, max_tiles=n + 2)
+    np.testing.assert_allclose(exact, via_pad, rtol=1e-5, atol=1e-5)
+
+
 def test_visual_interpretations_shapes(model):
     img = Image.new("RGB", (32, 48), (0, 255, 0))
     interp = model.get_visual_interpretations("describe", img)

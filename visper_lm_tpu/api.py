@@ -52,6 +52,8 @@ class VisperModel:
     params: Any
     tokenizer: Any = None
     context_len: int = 4096
+    # anyres grid (reference image_grid_pinpoints, train.py:1040)
+    grid_pinpoints: Any = "[[336,672],[672,336],[672,672],[1008,336],[336,1008]]"
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -124,28 +126,84 @@ class VisperModel:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
     ) -> List[str]:
-        """Batched VQA: build prompts, preprocess images, greedy/sampled decode."""
-        prompts = [self.build_prompt(q) for q in questions]
-        pixels = process_images(
-            list(images),
-            image_aspect_ratio=self.cfg.image_aspect_ratio
-            if self.cfg.image_aspect_ratio != "anyres"
-            else "square",
-            image_size=self.cfg.vision.image_size,
-        )
+        """Batched VQA: build prompts, preprocess images, greedy/sampled decode.
 
+        anyres configs tile each image on its best grid (mm_utils.py:238-288),
+        encode all tiles batched, and splice via host-computed gather indices
+        (data/anyres.py); tile counts are padded to the batch max with zero tiles
+        (their rows are never gathered)."""
+        prompts = [self.build_prompt(q) for q in questions]
         d = self.cfg.distill
+        anyres = self.cfg.image_aspect_ratio == "anyres" and self.grid_pinpoints
+
+        if anyres:
+            from visper_lm_tpu.data.anyres import anyres_index_plan
+
+            tile_lists = process_images(
+                list(images), image_aspect_ratio="anyres",
+                image_size=self.cfg.vision.image_size,
+                grid_pinpoints=self.grid_pinpoints,
+            )
+            raw_plans = [
+                anyres_index_plan(
+                    im.size, self.grid_pinpoints,
+                    tile_size=self.cfg.vision.image_size,
+                    patch_side=self.cfg.vision.num_patches_per_side,
+                    merge_type=self.cfg.mm_patch_merge_type,
+                )
+                for im in images
+            ]
+            max_tiles = max(t.shape[0] for t in tile_lists)
+            per_tile = self.cfg.vision.num_patches
+            # tiles are padded to the batch max; the newline row then lives at
+            # max_tiles*per_tile in the encoded buffer — remap each sample's own
+            # newline index to that slot
+            index_plans = []
+            for idx, nl in raw_plans:
+                idx = idx.copy()
+                idx[idx == nl] = max_tiles * per_tile
+                index_plans.append(idx)
+            size = self.cfg.vision.image_size
+            pixels = np.zeros(
+                (len(images), max_tiles, size, size, 3), dtype=np.float32
+            )
+            for i, tiles in enumerate(tile_lists):
+                pixels[i, : tiles.shape[0]] = tiles
+            token_counts = [idx.shape[0] for idx in index_plans]
+        else:
+            pixels = np.asarray(
+                process_images(
+                    list(images),
+                    image_aspect_ratio=self.cfg.image_aspect_ratio,
+                    image_size=self.cfg.vision.image_size,
+                ),
+                dtype=np.float32,
+            )
+            index_plans = [None] * len(images)
+            token_counts = [self.cfg.num_image_tokens] * len(images)
+
         raw_len = max(
             len(tokenizer_image_token(p, self.tokenizer)) for p in prompts
         )
-        spliced = raw_len + self.cfg.num_image_tokens + (
+        spliced = raw_len + max(token_counts) + (
             d.num_task_tokens * len(d.task_order()) if d else 0
         )
         pad_to = min(-(-spliced // 128) * 128, self.context_len)
 
-        plans = self._plans(prompts, pad_to)
+        plans = [
+            build_splice_plan(
+                tokenizer_image_token(p, self.tokenizer),
+                None,
+                pad_to,
+                num_image_tokens=self.cfg.num_image_tokens,
+                num_task_tokens=d.num_task_tokens if d else 0,
+                num_tasks=len(d.task_order()) if d else 0,
+                image_feature_indices=[index_plans[i]] if index_plans[i] is not None else None,
+            )
+            for i, p in enumerate(prompts)
+        ]
         batch = left_pad_plans(plans, pad_to)
-        batch["images"] = np.asarray(pixels, dtype=np.float32)
+        batch["images"] = pixels
 
         eos_ids = []
         for s in self.stop_strings():
