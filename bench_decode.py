@@ -19,6 +19,7 @@ def main() -> None:
     p.add_argument("--prompt", type=int, default=768)
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     args = p.parse_args()
 
     import jax
@@ -57,7 +58,10 @@ def main() -> None:
     size = cfg.vision.image_size
     batch["images"] = rng.normal(size=(B, size, size, 3)).astype(np.float32)
 
-    gen = Generator(params, cfg, GenerationConfig(max_new_tokens=new), B, prompt)
+    gen = Generator(
+        params, cfg,
+        GenerationConfig(max_new_tokens=new, kv_quant=args.kv_quant), B, prompt,
+    )
     out = gen.generate(dict(batch))                      # compile
     t0 = time.perf_counter()
     out = gen.generate(dict(batch))

@@ -81,3 +81,56 @@ def test_multi_step_decode_consistency(setup):
     )
     c = gen2.generate(dict(batch))
     assert c[0] == [eos]
+
+
+def test_int8_kv_cache_matches_dense_decode(setup):
+    """int8 KV cache vs dense: with the SAME forced token sequence, per-step decode
+    logits stay within quantization tolerance, and the stored cache dequantizes to
+    within one quantization step of the dense cache. (Token-exact greedy equality is
+    not a valid oracle on a random-init model — argmax margins there are ~0.)"""
+    cfg, params, plans, raw_ids, images = setup
+    batch = left_pad_plans(plans, 128)
+    batch["images"] = images
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    offsets = jbatch["pad_offsets"]
+
+    from visper_lm_tpu.models import decoder as dec
+
+    dense = Generator(params, cfg, GenerationConfig(max_new_tokens=8), 3, 128,
+                      cache_dtype=jnp.float32)
+    quant = Generator(params, cfg, GenerationConfig(max_new_tokens=8, kv_quant=True),
+                      3, 128)
+    dlog, dcache = dense._prefill(params, jbatch)
+    qlog, qcache = quant._prefill(params, jbatch)
+    # prefill attention runs on raw k/v (cache write only) — logits identical
+    np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog), rtol=1e-5, atol=1e-5)
+
+    # cache contents: dequantized int8 ~= dense within one quantization step
+    dq = np.asarray(qcache.k, np.float32) * np.asarray(qcache.k_scale, np.float32)
+    dk = np.asarray(dcache.k, np.float32)
+    span = dk[:, :, :128]  # prompt region only (rest is zeros in both)
+    err = np.abs(dq[:, :, :128] - span).max()
+    assert err <= np.abs(span).max() / 127.0 + 1e-6, err
+
+    # forced-token decode: step logits track the dense path within quant tolerance
+    token = jnp.argmax(dlog, axis=-1)
+    for step in range(4):
+        emb = dec.embed_tokens(params["decoder"], token[:, None])
+        slot = 128 + step
+        kw = dict(
+            positions=(128 - offsets + step)[:, None],
+            kv_lengths=jnp.full((3,), slot + 1, jnp.int32),
+            kv_starts=offsets, q_offset=slot,
+        )
+        do = dec.decoder_forward(params["decoder"], cfg.decoder, emb, cache=dcache, **kw)
+        qo = dec.decoder_forward(params["decoder"], cfg.decoder, emb, cache=qcache, **kw)
+        dcache, qcache = do["cache"], qo["cache"]
+        dl, ql = np.asarray(do["logits"][:, 0]), np.asarray(qo["logits"][:, 0])
+        denom = max(1e-3, float(np.abs(dl).max()))
+        assert np.abs(ql - dl).max() / denom < 0.05, (step, np.abs(ql - dl).max())
+        token = jnp.argmax(do["logits"][:, 0], axis=-1)
+
+    # end-to-end through Generator: runs and is deterministic with the quant cache
+    a = quant.generate(dict(batch))
+    b = quant.generate(dict(batch))
+    assert a == b and all(len(x) == 8 for x in a)

@@ -116,14 +116,53 @@ def repl(model, image_path: str, out_dir: str = "demo_out") -> None:
         print("assistant>", out[0])
 
 
+def serve(model, port: int = 7860, out_dir: str = "demo_out") -> None:
+    """Gradio web UI (reference demo.py:236-332): image upload + chat + a
+    "Visualize" button that renders the intermediate-representation decodes.
+
+    gradio is an optional dependency; the CLI REPL covers the same capabilities
+    without it."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise SystemExit(
+            "--serve needs gradio, which is not installed in this environment. "
+            "Use the CLI REPL (omit --serve), or `pip install gradio` where allowed."
+        ) from e
+
+    def _chat(message, history, image):
+        if image is None:
+            return "Please upload an image first."
+        return model.chat([message], [image], max_new_tokens=256)[0]
+
+    def _viz(question, image):
+        if image is None:
+            return {}
+        return visualize_interpretations(
+            model, question or "Describe the image.", image, out_dir
+        )
+
+    with gr.Blocks(title="VisPer-LM TPU demo") as ui:
+        image = gr.Image(type="pil", label="image")
+        chat = gr.ChatInterface(fn=lambda m, h: _chat(m, h, image.value))
+        question = gr.Textbox(label="viz question", value="Describe the image.")
+        viz_btn = gr.Button("Visualize intermediate representations")
+        manifest = gr.JSON(label="rendered artifacts")
+        viz_btn.click(_viz, inputs=[question, image], outputs=[manifest])
+        _ = chat
+    ui.launch(server_port=port)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model-path", required=True, help="HF or orbax checkpoint dir")
     parser.add_argument("--tokenizer", default=None, help="tokenizer path (HF)")
-    parser.add_argument("--image", required=True)
+    parser.add_argument("--image", default=None)
     parser.add_argument("--question", default=None, help="one-shot question (no REPL)")
     parser.add_argument("--viz", action="store_true", help="also dump interpretations")
     parser.add_argument("--out-dir", default="demo_out")
+    parser.add_argument("--serve", action="store_true", help="gradio web UI (optional)")
+    parser.add_argument("--port", type=int, default=7860)
     args = parser.parse_args()
 
     from transformers import AutoTokenizer
@@ -138,15 +177,21 @@ def main() -> None:
     else:
         model = VisperModel.from_hf_checkpoint(args.model_path, tokenizer=tokenizer)
 
-    if args.question:
+    if args.serve:
+        serve(model, port=args.port, out_dir=args.out_dir)
+    elif args.question:
         from PIL import Image
 
+        if args.image is None:
+            parser.error("--question needs --image")
         image = Image.open(args.image).convert("RGB")
         print(model.chat([args.question], [image])[0])
         if args.viz:
             manifest = visualize_interpretations(model, args.question, image, args.out_dir)
             print(json.dumps(manifest, indent=2))
     else:
+        if args.image is None:
+            parser.error("the REPL needs --image")
         repl(model, args.image, args.out_dir)
 
 

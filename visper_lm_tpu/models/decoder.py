@@ -56,6 +56,44 @@ def init_kv_cache(
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache with per-(token, head) scales over the head dim.
+
+    Halves decode-time cache HBM footprint and read bandwidth vs bf16 (the decode
+    bottleneck is cache+weight streaming). Quantization happens at cache-write,
+    dequantization is a fused multiply at attention time.
+    """
+
+    k: jax.Array        # (L, B, S_max, Nkv, H) int8
+    v: jax.Array        # (L, B, S_max, Nkv, H) int8
+    k_scale: jax.Array  # (L, B, S_max, Nkv, 1) float32
+    v_scale: jax.Array  # (L, B, S_max, Nkv, 1) float32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_quant_kv_cache(cfg: DecoderConfig, batch: int, max_len: int) -> QuantKVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    sshape = shape[:-1] + (1,)
+    return QuantKVCache(
+        k=jnp.zeros(shape, dtype=jnp.int8),
+        v=jnp.zeros(shape, dtype=jnp.int8),
+        k_scale=jnp.ones(sshape, dtype=jnp.float32),
+        v_scale=jnp.ones(sshape, dtype=jnp.float32),
+    )
+
+
+def _quantize_head_vectors(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization per (..., H) vector. Returns (int8, f32 scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _stacked_linear(key: jax.Array, L: int, din: int, dout: int, dtype) -> Params:
     """(L, din, dout) kernel initialized in ONE low-precision random call.
 
@@ -126,11 +164,22 @@ def _block_forward(
 
     new_cache = None
     if cache_kv is not None:
-        ck, cv = cache_kv
         start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
-        new_cache = (ck, cv)
+        quant = len(cache_kv) == 4
+        if quant:
+            ck, cv, cks, cvs = cache_kv
+            kq, ksc = _quantize_head_vectors(k)
+            vq, vsc = _quantize_head_vectors(v)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, start, 0, 0))
+            cks = jax.lax.dynamic_update_slice(cks, ksc, (0, start, 0, 0))
+            cvs = jax.lax.dynamic_update_slice(cvs, vsc, (0, start, 0, 0))
+            new_cache = (ck, cv, cks, cvs)
+        else:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
+            new_cache = (ck, cv)
         if isinstance(q_offset, int) and q_offset == 0 and t > 1:
             # PREFILL: the cache beyond this chunk is empty, so attention over the
             # chunk itself is exact — eligible for the flash kernel (incl. the
@@ -140,6 +189,11 @@ def _block_forward(
                 use_pallas=use_pallas,
             )
         else:
+            if quant:
+                # lazy dequant: int8 + f32 scale stream from HBM (half the bytes of
+                # bf16); the multiply fuses into the attention matmul's operand load
+                ck = ck.astype(k.dtype) * cks.astype(k.dtype)
+                cv = cv.astype(v.dtype) * cvs.astype(v.dtype)
             attn = mha_xla(
                 q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
                 kv_starts=kv_starts,
@@ -199,15 +253,16 @@ def decoder_forward(
         assert cache is None, "layer taps are a training/prefill feature (no cache)"
 
     has_cache = cache is not None
+    quant_cache = isinstance(cache, QuantKVCache)
 
     def body(carry, xs):
         h = carry
         if has_cache:
-            block, ck, cv = xs
+            block = xs[0]
+            cache_kv = tuple(xs[1:])
         else:
             block = xs
-            ck = cv = None
-        cache_kv = (ck, cv) if has_cache else None
+            cache_kv = None
         h, new_cache = _block_forward(
             block, cfg, h, cos, sin, kv_lengths, q_offset, cache_kv, use_pallas,
             kv_starts,
@@ -259,7 +314,7 @@ def decoder_forward(
     else:
         xs = params["blocks"]
         if has_cache:
-            xs = (params["blocks"], cache.k, cache.v)
+            xs = (params["blocks"],) + tuple(cache)
         h, ys = jax.lax.scan(body, inputs_embeds, xs)
         taps = None
 
@@ -273,7 +328,7 @@ def decoder_forward(
         out["logits"] = logits.astype(jnp.float32)
     out["taps"] = taps if num_taps > 0 else None
     if has_cache:
-        out["cache"] = KVCache(k=ys[0], v=ys[1])
+        out["cache"] = QuantKVCache(*ys) if quant_cache else KVCache(*ys)
     return out
 
 

@@ -45,6 +45,10 @@ class GenerationConfig:
     # the runtime happen once per chunk instead of once per token; stop conditions
     # are evaluated at chunk boundaries (over-generated tokens are trimmed).
     decode_chunk: int = 16
+    # int8 KV cache (per-token-head scales): halves cache HBM footprint/bandwidth,
+    # unlocking larger decode batches (dense bf16 cache + weights exceed HBM at
+    # phi3 batch 8 on one 16 GB chip)
+    kv_quant: bool = False
 
 
 def left_pad_plans(plans: Sequence[SplicePlan], pad_to: int) -> Dict[str, np.ndarray]:
@@ -122,9 +126,12 @@ class Generator:
         positions = jnp.maximum(
             jnp.arange(self.prompt_len)[None, :] - offsets[:, None], 0
         )
-        cache = dec.init_kv_cache(
-            cfg.decoder, self.batch_size, self.max_len, dtype=self.cache_dtype
-        )
+        if self.gen_cfg.kv_quant:
+            cache = dec.init_quant_kv_cache(cfg.decoder, self.batch_size, self.max_len)
+        else:
+            cache = dec.init_kv_cache(
+                cfg.decoder, self.batch_size, self.max_len, dtype=self.cache_dtype
+            )
         out = dec.decoder_forward(
             params["decoder"], cfg.decoder, embeds,
             positions=positions,

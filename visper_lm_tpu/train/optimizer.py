@@ -42,6 +42,11 @@ class OptimizerConfig:
     # DeepSpeed bf16 mode keeps fp32 optimizer state; bf16 moments lose small
     # gradient accumulations over long runs)
     mu_dtype: str = "float32"
+    # f32 master weights for bf16 params (DeepSpeed bf16-mode fp32_weights
+    # equivalent): updates accumulate in an f32 copy so per-step deltas below
+    # bf16 resolution (~lr 2e-5 late in a cosine decay) aren't rounded away.
+    # Costs 4 bytes/trainable-param of optimizer state (ZeRO-sharded over 'data').
+    master_weights: bool = False
 
 
 # path-regex -> group; first match wins
@@ -128,9 +133,37 @@ def cosine_schedule(cfg: OptimizerConfig, peak_lr: float) -> optax.Schedule:
     )
 
 
+class MasterWeightState(jax.tree_util.register_static(type("_S", (), {})) if False else tuple):
+    pass
+
+
+def with_master_weights() -> optax.GradientTransformation:
+    """Apply updates to an f32 copy of the params; the emitted update is the
+    param-dtype delta that snaps params to the rounded master copy."""
+
+    def init_fn(params):
+        return {
+            "master": jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), params
+            )
+        }
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "with_master_weights needs params at update"
+        new_master = jax.tree_util.tree_map(
+            lambda m, u: m + u.astype(jnp.float32), state["master"], updates
+        )
+        out = jax.tree_util.tree_map(
+            lambda p, m: m.astype(p.dtype) - p, params, new_master
+        )
+        return out, {"master": new_master}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransformation:
     def adamw(lr: float) -> optax.GradientTransformation:
-        return optax.chain(
+        steps = [
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(
                 learning_rate=cosine_schedule(cfg, lr),
@@ -141,7 +174,10 @@ def make_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransform
                 weight_decay=cfg.weight_decay,
                 mask=_decay_mask,  # callable: evaluated on the (possibly masked) tree
             ),
-        )
+        ]
+        if cfg.master_weights:
+            steps.append(with_master_weights())
+        return optax.chain(*steps)
 
     labels = lr_group_labels(params, cfg, cfg.stage)
     transforms = {
