@@ -194,13 +194,22 @@ class BatchIterator:
         seed: int = 0,
         drop_last: bool = True,
         distill_tasks: Sequence[str] = (),
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is PER PROCESS; with process_count > 1 every process computes
+        the same global example order from the shared seed, then takes a disjoint
+        strided slice (DistributedSampler semantics — the reference relies on
+        HF Trainer + the deepspeed launcher for the same contract)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seq_buckets = seq_buckets
         self.seed = seed
         self.drop_last = drop_last
         self.distill_tasks = tuple(distill_tasks)
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
@@ -211,6 +220,16 @@ class BatchIterator:
         else:
             rng = np.random.default_rng(self.seed)
             order = list(rng.permutation(n))
+        if self.process_count > 1:
+            # keep whole per-process batches contiguous in the shared order so the
+            # modality-grouped batching above survives the split, then stride by
+            # process. Truncate so every process yields the same number of batches
+            # (collectives would deadlock otherwise).
+            bs = self.batch_size
+            n_global = (len(order) // (bs * self.process_count)) * self.process_count
+            batches = [order[k * bs : (k + 1) * bs] for k in range(n_global)]
+            order = [i for b in batches[self.process_index :: self.process_count] for i in b]
+            n = len(order)
 
         vlm = self.ds.vlm_cfg
         d = vlm.distill
@@ -232,7 +251,12 @@ class BatchIterator:
                     + n_img * (vlm.num_image_tokens + ntt * n_tasks - 1)
                 )
                 spliced_lens.append(spliced)
-            max_len = pad_to_bucket(max(spliced_lens), self.seq_buckets)
+            if self.process_count > 1:
+                # all processes must agree on the static sequence length for a
+                # global step without communicating; pin to the top bucket.
+                max_len = self.seq_buckets[-1]
+            else:
+                max_len = pad_to_bucket(max(spliced_lens), self.seq_buckets)
 
             plans = [
                 build_splice_plan(

@@ -42,6 +42,10 @@ class TrainerConfig:
     seed: int = 0
     dp: Optional[int] = None
     tp: int = 1
+    # ZeRO-3-equivalent full param sharding along 'data' (scripts/zero3.json)
+    zero_params: bool = False
+    # zero3_offload.json-equivalent: optimizer moments live in host memory (TPU only)
+    offload_opt_state: bool = False
     resume: bool = True
     # device batches buffered ahead; 1 still overlaps transfer with compute while
     # keeping only one extra batch resident (matters at HBM-edge model sizes)
@@ -53,8 +57,12 @@ class MetricsLogger:
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.jsonl")
         self.sinks = list(sinks)
+        # rank-0 gating (the reference gates with dist.get_rank()==0 throughout)
+        self.enabled = jax.process_index() == 0
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not self.enabled:
+            return
         record = {"step": step}
         for k, v in metrics.items():
             try:
@@ -107,6 +115,9 @@ def train(
 
     data_iter_fn(epoch) yields host batches (splice plans + images + targets/masks).
     """
+    from visper_lm_tpu.parallel.distributed import init_distributed
+
+    init_distributed()  # no-op unless VISPER_* env configures multi-process
     mesh = make_mesh(dp=trainer_cfg.dp, tp=trainer_cfg.tp)
     logger = MetricsLogger(trainer_cfg.output_dir, log_sinks)
     ckpt = CheckpointManager(
@@ -133,6 +144,8 @@ def train(
             cfg, opt_cfg, params, mesh,
             teacher_fn=teacher_fn, teacher_params=teacher_params,
             use_pallas=use_pallas,
+            zero_params=trainer_cfg.zero_params,
+            offload_opt_state=trainer_cfg.offload_opt_state,
         )
 
         start_step = 0
