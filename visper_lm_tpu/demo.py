@@ -25,12 +25,15 @@ import numpy as np
 
 
 def visualize_interpretations(model, question: str, image, out_dir: str,
-                              dpt_params=None, oneformer=None) -> dict:
+                              dpt_params=None, oneformer=None, genpipe=None) -> dict:
     """Run get_visual_interpretations and render what we can to disk.
 
     oneformer: optional dict with keys dec_params, cfg, swin_params, swin_cfg,
     task_inputs — enables real mask decoding through the predicted seg embedding
     (reference demo.py:209-229 backbone-feature substitution).
+    genpipe: optional dict with keys params, cfg (models/genpipe) — enables
+    rendering the predicted gen embedding to pixels through the unCLIP diffusion
+    pipeline (reference demo.py:177-188, 25-step DPM-Solver).
     """
     os.makedirs(out_dir, exist_ok=True)
     interp = model.get_visual_interpretations(question, image)
@@ -78,6 +81,21 @@ def visualize_interpretations(model, question: str, image, out_dir: str,
                 )[0]
                 _save_colormap(sem / max(sem.max(), 1), base + "_sem.png")
                 manifest[f"{task}/{layer + 1}_sem"] = base + "_sem.png"
+            if task == "gen" and genpipe is not None:
+                from PIL import Image
+
+                from visper_lm_tpu.models.genpipe import generate_from_embeds
+
+                steps = genpipe.get("num_inference_steps", 25)
+                imgs = generate_from_embeds(
+                    genpipe["params"], genpipe["cfg"],
+                    np.asarray(emb).reshape(1, -1),
+                    num_inference_steps=steps,
+                )
+                Image.fromarray(
+                    (imgs[0] * 255).astype(np.uint8)
+                ).save(base + ".png")
+                manifest[f"{task}/{layer + 1}_png"] = base + ".png"
     return manifest
 
 

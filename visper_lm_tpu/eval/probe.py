@@ -129,3 +129,44 @@ def run_probe_cos_sim(
     if output_path:
         json.dump(merged, open(output_path, "w"), indent=2)
     return merged
+
+
+def render_gen_predictions(
+    model,
+    examples: Sequence[dict],
+    genpipe_params,
+    genpipe_cfg,
+    out_dir: str,
+    *,
+    num_inference_steps: int = 25,
+    image_size: int = 256,
+) -> List[str]:
+    """Probe-task gen rendering (eval_probe_task.py:222-237): per tapped layer,
+    decode the predicted 1x1024 embedding through the unCLIP pipeline and save the
+    image resized to 256x256 under out_dir/gen/layer_{L}/{name}.png. Returns paths.
+    """
+    import os
+
+    from PIL import Image
+
+    from visper_lm_tpu.models.genpipe import generate_from_embeds
+
+    paths = []
+    for rec in examples:
+        image = Image.open(rec["image"]).convert("RGB")
+        interp = model.get_visual_interpretations(rec["question"], image)
+        fname = os.path.basename(rec["image"]).rsplit(".", 1)[0] + ".png"
+        for layer, emb in interp.get("gen", {}).items():
+            imgs = generate_from_embeds(
+                genpipe_params, genpipe_cfg,
+                np.asarray(emb).reshape(1, -1),
+                num_inference_steps=num_inference_steps,
+            )
+            pil = Image.fromarray((imgs[0] * 255).astype(np.uint8))
+            pil = pil.resize((image_size, image_size), Image.LANCZOS)
+            d = os.path.join(out_dir, "gen", f"layer_{layer + 1}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, fname)
+            pil.save(path)
+            paths.append(path)
+    return paths
