@@ -58,18 +58,35 @@ def fid_from_features(real: np.ndarray, generated: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
-def inception_feature_fn(weights_path: Optional[str] = None) -> Callable:
-    """InceptionV3-pool3 feature extractor (canonical FID). Needs the pt_inception
-    weights file; raises with instructions offline."""
-    raise NotImplementedError(
-        "InceptionV3 features need the pt_inception-2015-12-05 weights "
-        "(offline here). Pass features from your own extractor to "
-        "fid_from_features, or use clip_feature_fn for relative comparisons."
-    )
+def inception_feature_fn(weights_path: str, batch_size: int = 32) -> Callable:
+    """Canonical FID extractor: the eval/inception.py InceptionV3 (FID variant)
+    loaded from a pt_inception-2015-12-05 state-dict file (.pth via torch, or .npz
+    of the same key layout). Scores from this path ARE comparable to published
+    Inception-FID numbers."""
+    import numpy as np
+
+    from visper_lm_tpu.eval.inception import import_inception
+    from visper_lm_tpu.eval.inception import inception_feature_fn as _fn
+
+    if weights_path.endswith(".npz"):
+        sd = dict(np.load(weights_path))
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(weights_path, map_location="cpu").items()
+        }
+    return _fn(import_inception(sd), batch_size=batch_size)
 
 
 def clip_feature_fn(params, cfg) -> Callable[[np.ndarray], np.ndarray]:
-    """Offline-capable feature extractor: CLIP tower pooled features (B,H,W,3 in)."""
+    """NON-CANONICAL fallback extractor: CLIP tower pooled features (B,H,W,3 in).
+
+    FID values computed with this function are NOT comparable to published
+    Inception-FID numbers — use them only for relative comparisons between models
+    evaluated with the same extractor, and label results 'clip-fid'. For canonical
+    scores use inception_feature_fn with the pt_inception weights."""
     import jax
     import jax.numpy as jnp
 
