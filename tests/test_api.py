@@ -133,3 +133,56 @@ def test_visual_interpretations_shapes(model):
         assert set(layers) == set(tcfg.layer_indices)
         for emb in layers.values():
             assert emb.shape == (1, tcfg.head.num_tokens, tcfg.head.output_dim)
+
+
+def test_zoo_dispatch_and_vicuna_preset():
+    """builder.py:26-191 name-substring dispatch + vicuna preset (num_sys_tokens=26,
+    ola_llama.py:65-68)."""
+    from visper_lm_tpu.api import config_for_model_name
+    from visper_lm_tpu.config import vicuna_clip_vlm
+
+    c = config_for_model_name("ola-vlm-phi3-dsg")
+    assert c.decoder.family == "phi3" and c.distill is not None
+
+    c = config_for_model_name("llava-v1.5-vicuna-7b")
+    assert c.conv_template == "vicuna_v1"
+    assert c.num_sys_tokens == 26
+    assert c.distill is None  # plain llava name, no dsg/ola marker
+
+    c = config_for_model_name("ola-llama3-convnext-dsg")
+    assert c.use_convnext_tower and c.projector.input_dim == 3072
+
+    v = vicuna_clip_vlm(distill=True)
+    assert v.decoder.vocab_size == 32000 and v.decoder.mlp_dim == 11008
+
+
+def test_vicuna_prompt_golden():
+    """The vicuna_v1 VLM prompt is byte-exact vs the reference template."""
+    from visper_lm_tpu.api import VisperModel
+    from visper_lm_tpu.config import tiny_test_vlm
+
+    import dataclasses as dc
+
+    cfg = dc.replace(tiny_test_vlm(), conv_template="vicuna_v1", num_sys_tokens=26)
+    m = VisperModel(cfg=cfg, params=None, tokenizer=FakeTok())
+    p = m.build_prompt("what is this?")
+    assert p == (
+        "A chat between a curious user and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the user's "
+        "questions. USER: <image>\nwhat is this? ASSISTANT:"
+    )
+    assert m.stop_strings() == ["</s>"]
+
+
+def test_fixup_tokenizer_adds_patch_token():
+    from visper_lm_tpu.api import fixup_tokenizer
+
+    class Tok:
+        added = None
+
+        def add_tokens(self, toks, special_tokens=False):
+            self.added = (tuple(toks), special_tokens)
+
+    t = Tok()
+    fixup_tokenizer(t, {"mm_use_im_patch_token": True})
+    assert t.added == (("<im_patch>",), True)

@@ -38,12 +38,138 @@ from visper_lm_tpu.models.vlm import (
 from visper_lm_tpu.serve.generate import GenerationConfig, Generator, left_pad_plans
 
 
-def config_for_model_name(model_name: str, distill: bool = True) -> VLMConfig:
-    """Model-zoo dispatch by substring (reference builder.py:26-191)."""
+def config_for_model_name(model_name: str, distill: Optional[bool] = None) -> VLMConfig:
+    """Model-zoo dispatch by substring (reference builder.py:26-191):
+    'phi' -> Phi3 family, 'vicuna'/'v1.5' -> Vicuna-7b, else Llama3-8b;
+    'dsg'/'ola' -> distillation heads on; 'convnext' -> ConvNeXt-XXL tower."""
+    from visper_lm_tpu.config import vicuna_clip_vlm, with_convnext_tower
+
     name = model_name.lower()
+    if distill is None:
+        distill = "dsg" in name or "ola" in name
     if "phi" in name:
-        return phi3_clip_vlm(distill=distill)
-    return llama3_clip_vlm(distill=distill)
+        cfg = phi3_clip_vlm(distill=distill)
+    elif "vicuna" in name or "v1.5" in name:
+        cfg = vicuna_clip_vlm(distill=distill)
+    else:
+        cfg = llama3_clip_vlm(distill=distill)
+    if "convnext" in name:
+        cfg = with_convnext_tower(cfg)
+    return cfg
+
+
+def config_from_hf_json(hf: Dict[str, Any]) -> VLMConfig:
+    """Build a VLMConfig from a reference checkpoint's self-describing config.json
+    (the denormalized dicts ola_vlm_train.py:1196-1231 injects)."""
+    import dataclasses as dc
+
+    from visper_lm_tpu.config import (
+        DecoderConfig,
+        DistillConfig,
+        DistillTaskConfig,
+        ProjectorConfig,
+        ResamplerConfig,
+        CLIP_VIT_L_336,
+        CONVNEXT_XXL_768,
+    )
+
+    mt = hf.get("model_type", "")
+    family = "phi3" if "phi" in mt else "llama"
+    decoder = DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=hf["hidden_size"] // hf["num_attention_heads"],
+        mlp_dim=hf["intermediate_size"],
+        rope_theta=hf.get("rope_theta", 10000.0),
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_seq_len=min(hf.get("max_position_embeddings", 4096), 4096),
+        family=family,
+    )
+    tower = hf.get("mm_vision_tower", "clip")
+    use_convnext = "convnext" in tower.lower()
+    mm_hidden = hf.get("mm_hidden_size", 3072 if use_convnext else 1024)
+
+    tasks = []
+    spec_keys = {"gen": "image_gen", "seg": "image_seg", "depth": "image_depth"}
+    dims = {"gen": (1024, 1), "seg": (1536, 576), "depth": (1024, 576)}
+    for task, key in spec_keys.items():
+        d = hf.get(key)
+        if not d:
+            continue
+        layers = d.get(f"{'img' if task == 'gen' else task}_layer_indices")
+        weight = d.get(f"{'img' if task == 'gen' else task}_loss_weight", 0.5)
+        head = ResamplerConfig(
+            depth=d.get("depth", 1),
+            dim_head=d.get("dim_head", 32),
+            num_heads=d.get("num_heads", 4),
+            num_tokens=d.get("num_tokens", dims[task][1]),
+            output_dim=d.get("output_dim", dims[task][0]),
+            ff_mult=d.get("ff_mult", 1),
+        )
+        tdim, ttok = dims[task]
+        tasks.append(
+            DistillTaskConfig(
+                task=task,
+                layer_indices=tuple(int(i) - 1 for i in layers)
+                if layers
+                else (decoder.num_layers - 1,),
+                loss_weight=float(weight),
+                head=head,
+                target_dim=tdim,
+                target_tokens=ttok,
+            )
+        )
+    distill = None
+    if tasks:
+        distill = DistillConfig(
+            num_task_tokens=hf.get("num_task_tokens", 8),
+            contrastive_loss_weight=hf.get("contrastive_loss_weight", 0.3),
+            tasks=tuple(tasks),
+        )
+
+    if "phi" in mt:
+        template, sys_tokens = "llava_phi_3", 13
+    elif decoder.vocab_size >= 100000:
+        template, sys_tokens = "llava_llama_3", 38
+    else:
+        template, sys_tokens = "vicuna_v1", 26
+
+    cfg = VLMConfig(
+        decoder=decoder,
+        vision=CLIP_VIT_L_336,
+        projector=ProjectorConfig(input_dim=mm_hidden, output_dim=decoder.hidden_size),
+        distill=distill,
+        conv_template=template,
+        num_sys_tokens=sys_tokens,
+        image_aspect_ratio=hf.get("image_aspect_ratio", "square"),
+        mm_patch_merge_type=hf.get("mm_patch_merge_type", "flat"),
+        use_convnext_tower=use_convnext,
+        convnext=CONVNEXT_XXL_768 if use_convnext else None,
+    )
+    return cfg
+
+
+def fixup_tokenizer(tokenizer, hf_config: Dict[str, Any]):
+    """Reference tokenizer fixup (builder.py:176-183): register the image patch /
+    start / end special tokens the checkpoint was trained with."""
+    from visper_lm_tpu.constants import (
+        DEFAULT_IM_END_TOKEN,
+        DEFAULT_IM_START_TOKEN,
+        DEFAULT_IMAGE_PATCH_TOKEN,
+    )
+
+    if tokenizer is None:
+        return tokenizer
+    if hf_config.get("mm_use_im_patch_token", True):
+        tokenizer.add_tokens([DEFAULT_IMAGE_PATCH_TOKEN], special_tokens=True)
+    if hf_config.get("mm_use_im_start_end", False):
+        tokenizer.add_tokens(
+            [DEFAULT_IM_START_TOKEN, DEFAULT_IM_END_TOKEN], special_tokens=True
+        )
+    return tokenizer
 
 
 @dataclasses.dataclass
@@ -68,10 +194,23 @@ class VisperModel:
         )
 
         model_name = model_name or os.path.basename(os.path.normpath(model_dir))
-        cfg = config_for_model_name(model_name)
+        cfg_json = os.path.join(model_dir, "config.json")
+        hf_cfg: Dict[str, Any] = {}
+        if os.path.exists(cfg_json):
+            import json
+
+            hf_cfg = json.load(open(cfg_json))
+        if hf_cfg.get("hidden_size"):
+            cfg = config_from_hf_json(hf_cfg)  # self-describing checkpoint
+        else:
+            cfg = config_for_model_name(model_name)
         sd = load_sharded_safetensors(model_dir)
         params = to_jax(import_vlm(sd, cfg), dtype=dtype)
-        return cls(cfg=cfg, params=params, tokenizer=tokenizer)
+        tokenizer = fixup_tokenizer(tokenizer, hf_cfg)
+        context_len = int(hf_cfg.get("max_sequence_length", 4096))
+        return cls(
+            cfg=cfg, params=params, tokenizer=tokenizer, context_len=context_len
+        )
 
     @classmethod
     def from_orbax(cls, ckpt_dir: str, tokenizer=None) -> "VisperModel":

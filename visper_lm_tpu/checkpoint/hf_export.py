@@ -131,12 +131,25 @@ def export_vlm(params: Dict[str, Any], cfg: VLMConfig) -> StateDict:
     if "mm_projector" in params and params["mm_projector"]:
         for i, layer in enumerate(params["mm_projector"]["layers"]):
             export_linear(sd, f"model.mm_projector.{2 * i}", layer)
-    if not cfg.use_convnext_tower and "vision_tower" in params:
-        tower = export_clip_vision(
-            params["vision_tower"], cfg.vision,
-            prefix="model.vision_tower.vision_tower.vision_model.",
-        )
-        sd.update(tower)
+    if "image_newline" in params:
+        sd["model.image_newline"] = _np(params["image_newline"])
+    if "vision_tower" in params:
+        if cfg.use_convnext_tower:
+            from visper_lm_tpu.models.convnext import export_openclip_convnext
+
+            sd.update(
+                export_openclip_convnext(
+                    params["vision_tower"], cfg.convnext,
+                    prefix="model.vision_tower.vision_tower.",
+                )
+            )
+        else:
+            sd.update(
+                export_clip_vision(
+                    params["vision_tower"], cfg.vision,
+                    prefix="model.vision_tower.vision_tower.vision_model.",
+                )
+            )
 
     d = cfg.distill
     if d is not None:

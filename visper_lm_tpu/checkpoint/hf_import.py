@@ -268,14 +268,40 @@ def import_task_head(
 
 
 def import_vlm(sd: StateDict, cfg: VLMConfig) -> Dict[str, Any]:
-    """Import a full OLA/LLaVA checkpoint into the framework's param tree."""
+    """Import a full OLA/LLaVA checkpoint into the framework's param tree.
+
+    Covers the reference loader's special cases (builder.py:26-222):
+      * image_newline for anyres/unpad patch merging (llava_arch.py:126-144);
+      * the ConvNeXt tower, whose weights live in the model safetensors under
+        model.vision_tower.vision_tower.* in timm/OpenCLIP layout — the post-hoc
+        reload_from_ckpt path (builder.py:194-222) collapses to a prefix here;
+      * gamma/beta LayerNorm names inside the tower survive untouched
+        (base_lm.py:111-127 exempts vision_tower keys from HF's rename) — the
+        ConvNeXt importer accepts both namings.
+    """
     params: Dict[str, Any] = {
         "decoder": import_decoder(sd, cfg.decoder),
         "mm_projector": import_mlp_projector(sd),
     }
+    if "model.image_newline" in sd:
+        params["image_newline"] = sd["model.image_newline"]
     tower_prefix = "model.vision_tower.vision_tower.vision_model."
+    convnext_prefix = "model.vision_tower.vision_tower."
     if any(k.startswith(tower_prefix) for k in sd):
         params["vision_tower"] = import_clip_vision(sd, cfg.vision, tower_prefix)
+    elif cfg.use_convnext_tower and any(
+        k.startswith(convnext_prefix) for k in sd
+    ):
+        from visper_lm_tpu.models.convnext import import_openclip_convnext
+
+        tower_sd = {
+            k[len(convnext_prefix):]: v
+            for k, v in sd.items()
+            if k.startswith(convnext_prefix)
+        }
+        params["vision_tower"] = import_openclip_convnext(
+            tower_sd, cfg.convnext, prefix=""
+        )
 
     d = cfg.distill
     if d is not None:

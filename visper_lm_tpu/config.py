@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, List, Optional, Tuple
 
 
@@ -384,6 +384,32 @@ def llama3_clip_vlm(distill: bool = False, **kwargs: Any) -> VLMConfig:
         conv_template="llava_llama_3",
         num_sys_tokens=38,
         **kwargs,
+    )
+
+
+def vicuna_clip_vlm(distill: bool = False, **kwargs: Any) -> VLMConfig:
+    """Vicuna-7b-v1.5 + CLIP-ViT-L: the third shipped LLM family. The vicuna_v1
+    template's system prompt occupies 26 tokens (reference ola_llama.py:65-68
+    NUM_SYS_TOKENS for non-llama3 names)."""
+    return VLMConfig(
+        decoder=VICUNA_7B,
+        vision=CLIP_VIT_L_336,
+        projector=ProjectorConfig(input_dim=1024, output_dim=4096),
+        distill=make_distill_config() if distill else None,
+        conv_template="vicuna_v1",
+        num_sys_tokens=26,
+        **kwargs,
+    )
+
+
+def with_convnext_tower(cfg: VLMConfig) -> VLMConfig:
+    """Swap the CLIP-ViT tower for the OpenCLIP ConvNeXt-XXL@768 trunk
+    (clip_convnext_encoder.py:150-174: 24x24 -> 576 tokens x 3072)."""
+    return replace(
+        cfg,
+        use_convnext_tower=True,
+        convnext=CONVNEXT_XXL_768,
+        projector=replace(cfg.projector, input_dim=3072),
     )
 
 

@@ -180,3 +180,50 @@ def import_openclip_convnext(
         stage["blocks"] = _stack(blocks)
         params["stages"].append(stage)
     return params
+
+
+def export_openclip_convnext(
+    params: Params, cfg: ConvNeXtConfig, prefix: str = "visual.trunk."
+) -> Dict[str, np.ndarray]:
+    """Inverse of import_openclip_convnext: params -> timm-layout state dict.
+
+    Round-trips the reference checkpoint format (tower weights inside the model
+    safetensors under model.vision_tower.vision_tower.*, builder.py:194-222)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(key: str, p: Params) -> None:
+        sd[key + ".weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+        )
+        if "bias" in p:
+            sd[key + ".bias"] = np.asarray(p["bias"])
+
+    def put_ln(key: str, p: Params) -> None:
+        sd[key + ".weight"] = np.asarray(p["scale"])
+        sd[key + ".bias"] = np.asarray(p["bias"])
+
+    def put_lin(key: str, p: Params) -> None:
+        sd[key + ".weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+        if "bias" in p:
+            sd[key + ".bias"] = np.asarray(p["bias"])
+
+    put_conv(prefix + "stem.0", params["stem_conv"])
+    put_ln(prefix + "stem.1", params["stem_norm"])
+    put_ln(prefix + "norm_pre", params["norm_pre"])
+    for s, stage in enumerate(params["stages"]):
+        sp = f"{prefix}stages.{s}."
+        if "downsample" in stage:
+            put_ln(sp + "downsample.0", stage["downsample"]["norm"])
+            put_conv(sp + "downsample.1", stage["downsample"]["conv"])
+        blocks = stage["blocks"]
+        n = np.asarray(blocks["gamma"]).shape[0]
+        for i in range(n):
+            bp = f"{sp}blocks.{i}."
+            blk = {k: jax.tree_util.tree_map(lambda x: np.asarray(x)[i], v)
+                   for k, v in blocks.items()}
+            put_conv(bp + "conv_dw", blk["dwconv"])
+            put_ln(bp + "norm", blk["norm"])
+            put_lin(bp + "mlp.fc1", blk["fc1"])
+            put_lin(bp + "mlp.fc2", blk["fc2"])
+            sd[bp + "gamma"] = np.asarray(blk["gamma"])
+    return sd
