@@ -146,4 +146,38 @@ class VisperLmms:
         return out
 
     def loglikelihood_rolling(self, requests: List[Any]) -> List[float]:
-        raise NotImplementedError("rolling loglikelihood not used by shipped tasks")
+        """Full-string log-likelihood (text-only perplexity surface of the lmms
+        interface, api/model.py:203). Each request's args is (string,) or
+        (string, doc_to_visual, doc_id, task, split); scored token-by-token with
+        the whole string as continuation after BOS."""
+        import jax.numpy as jnp
+
+        from visper_lm_tpu.models.decoder import decoder_forward
+
+        model = self.model
+        out: List[float] = []
+        for req in requests:
+            text = req.args[0] if isinstance(req.args, tuple) else req.args
+            ids = list(model.tokenizer(text).input_ids)
+            bos = getattr(model.tokenizer, "bos_token_id", None)
+            if bos is not None and (not ids or ids[0] != bos):
+                ids = [bos] + ids
+            if len(ids) < 2:
+                out.append(0.0)
+                continue
+            pad_to = -(-len(ids) // 128) * 128
+            arr = np.zeros((1, pad_to), np.int32)
+            arr[0, : len(ids)] = ids
+            dec = model.params["decoder"]
+            embeds = dec["embed_tokens"]["embedding"][jnp.asarray(arr)]
+            fwd = decoder_forward(
+                dec, model.cfg.decoder, embeds,
+                kv_lengths=jnp.asarray([len(ids)]),
+            )
+            logits = np.asarray(fwd["logits"][0], np.float32)
+            total = 0.0
+            for pos in range(len(ids) - 1):
+                lp = logits[pos] - np.logaddexp.reduce(logits[pos])
+                total += float(lp[ids[pos + 1]])
+            out.append(total)
+        return out
