@@ -29,8 +29,18 @@ from typing import Any
 import numpy as np
 
 
+class _RecipeArgumentParser(argparse.ArgumentParser):
+    """Supports @recipes/<stage>.args files with '--flag value' per line and
+    '#' comments (the committed per-stage launch recipes, scripts/train/*.sh
+    flag-for-flag)."""
+
+    def convert_arg_line_to_args(self, arg_line: str):
+        line = arg_line.split("#", 1)[0].strip()
+        return line.split() if line else []
+
+
 def build_argparser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description=__doc__)
+    p = _RecipeArgumentParser(description=__doc__, fromfile_prefix_chars="@")
     p.add_argument("--stage", required=True,
                    choices=["pretrain", "finetune", "vpt", "probe"])
     p.add_argument("--model", default="llama3", choices=["llama3", "phi3", "vicuna"])
