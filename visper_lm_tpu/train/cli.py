@@ -83,9 +83,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save-steps", type=int, default=200)
     p.add_argument("--save-total-limit", type=int, default=3)
     p.add_argument("--logging-steps", type=int, default=1)
-    # mesh
+    # mesh / multi-process runtime (the deepspeed-launcher equivalent)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--zero-params", action="store_true",
+                   help="ZeRO-3-equivalent full param sharding (zero3.json)")
+    p.add_argument("--offload-opt-state", action="store_true",
+                   help="optimizer moments in host memory (zero3_offload.json)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host; TPU pods autodetect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seq-buckets", default="1024,2048,4096")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model + random distill targets (CI/CPU smoke)")
@@ -192,6 +200,11 @@ def load_teachers(args, cfg) -> tuple:
 def main() -> None:
     args = build_argparser().parse_args()
 
+    from visper_lm_tpu.parallel.distributed import init_distributed
+
+    # must run before any jax backend use (multi-host device visibility)
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     import jax
 
     from transformers import AutoTokenizer
@@ -237,6 +250,8 @@ def main() -> None:
             ds, args.per_device_batch_size,
             seq_buckets=tuple(int(x) for x in args.seq_buckets.split(",")),
             seed=epoch, distill_tasks=distill_tasks,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         from PIL import Image
 
@@ -301,6 +316,8 @@ def main() -> None:
         logging_steps=args.logging_steps,
         dp=args.dp,
         tp=args.tp,
+        zero_params=args.zero_params,
+        offload_opt_state=args.offload_opt_state,
     )
     train(
         cfg, opt_cfg, trainer_cfg, params, data_iter,
