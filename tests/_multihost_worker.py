@@ -84,4 +84,28 @@ with mesh:
     state, metrics = step_fn(state, dbatch)
     loss = float(metrics["loss"])
 assert np.isfinite(loss)
+
+# multi-host Orbax checkpointing: every process participates in the save; the
+# restore must reproduce the sharded state bit-true (SURVEY §5.4 on a pod).
+import tempfile
+
+from visper_lm_tpu.train.checkpoint import CheckpointManager
+
+ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else tempfile.gettempdir() + "/mh_ckpt"
+with mesh:
+    mgr = CheckpointManager(ckpt_dir, async_save=False)
+    mgr.save(1, state, cfg)
+    mgr.wait()
+    restored = mgr.restore(state)
+    mgr.close()
+    leaves_a = jax.tree_util.tree_leaves(state.params)
+    leaves_b = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(leaves_a, leaves_b):
+        # arrays span processes: compare this process's addressable shards only
+        sa = sorted(a.addressable_shards, key=lambda s: s.index.__repr__())
+        sb = sorted(b.addressable_shards, key=lambda s: s.index.__repr__())
+        assert len(sa) == len(sb) > 0
+        for x, y in zip(sa, sb):
+            np.testing.assert_array_equal(np.asarray(x.data), np.asarray(y.data))
+print("CKPT_OK", flush=True)
 print(f"LOSS {loss:.6f}", flush=True)

@@ -29,14 +29,16 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_pt_step():
-    """2 processes x 4 devices run ONE full PT distillation step on a global mesh."""
+def test_two_process_pt_step(tmp_path):
+    """2 processes x 4 devices: one full PT distillation step on a global mesh,
+    then a multi-host Orbax save + bit-true restore."""
     port = _free_port()
     worker = os.path.join(REPO, "tests", "_multihost_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ckpt_dir = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)],
+            [sys.executable, worker, str(pid), str(port), ckpt_dir],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -49,6 +51,7 @@ def test_two_process_pt_step():
         outs.append(out)
     losses = []
     for out in outs:
+        assert "CKPT_OK" in out, out
         lines = [l for l in out.splitlines() if l.startswith("LOSS ")]
         assert lines, out
         losses.append(float(lines[-1].split()[1]))
