@@ -8,8 +8,9 @@ Parity surface:
     annotated point pair, check the predicted depth ordering;
   * semantic-segmentation mIoU vs COCO panoptic-derived GT
     (get_probe_task_scores.py:54-104);
-  * FID for generation quality (vendored fid_score.py in the reference) — requires
-    an InceptionV3 port; tracked as eval/fid.py (later round), the hook is here.
+  * FID for generation quality (vendored fid_score.py in the reference) — the
+    canonical InceptionV3 extractor lives in eval/inception.py, the FID math in
+    eval/fid.py, and render_gen_predictions below produces the per-layer images.
 """
 
 from __future__ import annotations

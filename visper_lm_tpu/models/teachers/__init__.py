@@ -57,34 +57,71 @@ def init_teachers(
 
 
 def make_teacher_fn(
-    cfg: VLMConfig, tcfgs: Optional[TeacherConfigs] = None
+    cfg: VLMConfig,
+    tcfgs: Optional[TeacherConfigs] = None,
+    microbatch: Optional[int] = 2,
+    data_shards: int = 1,
 ) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
     """Returns teacher_fn(teacher_params, batch) -> {task: target} for the train step.
 
     Expects batch keys: depth_images (B,336,336,3), gen_images (B,224,224,3),
     seg_images (B,768,768,3) — produced by data/dataset.py via the per-teacher
     preprocessing (each teacher has its own pixel pipeline, SURVEY.md §7 hard part 3).
+
+    microbatch: teacher activations (esp. Swin-L at 768^2) dominate the train-step
+    peak-HBM at per-chip batch >= 8; lax.map over micro-batches bounds the teacher
+    temp memory at `microbatch` images PER DATA SHARD while the (frozen, no-grad)
+    FLOPs are unchanged. None/0 disables chunking.
+
+    data_shards: the mesh's 'data'-axis size. Each lax.map step processes
+    microbatch * data_shards images, constrained to stay sharded along 'data' so
+    dp>1 meshes keep every device busy inside the sequential chunk loop (a naive
+    reshape would shard the CHUNK axis, serializing the whole teacher pass).
     """
     d = cfg.distill
     assert d is not None
     tcfgs = tcfgs or TeacherConfigs()
     tasks = {t.task for t in d.tasks}
+    keys = {"depth": "depth_images", "gen": "gen_images", "seg": "seg_images"}
 
-    def teacher_fn(tp: Dict[str, Any], batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def compute(tp: Dict[str, Any], imgs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         targets: Dict[str, jax.Array] = {}
-        if "depth" in tasks and "depth_images" in batch:
+        if "depth_images" in imgs:
             targets["depth"] = dinov2_lib.dav2_depth_target(
-                tp["dinov2"], tcfgs.dinov2, batch["depth_images"]
+                tp["dinov2"], tcfgs.dinov2, imgs["depth_images"]
             )
-        if "gen" in tasks and "gen_images" in batch:
+        if "gen_images" in imgs:
             targets["gen"] = unclip_lib.gen_target(
-                tp["clip_h"], tcfgs.clip_h, batch["gen_images"]
+                tp["clip_h"], tcfgs.clip_h, imgs["gen_images"]
             )
-        if "seg" in tasks and "seg_images" in batch:
+        if "seg_images" in imgs:
             targets["seg"] = swin_lib.seg_target(
-                tp["swin"], tcfgs.swin, batch["seg_images"]
+                tp["swin"], tcfgs.swin, imgs["seg_images"]
             )
         return targets
+
+    def teacher_fn(tp: Dict[str, Any], batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        imgs = {
+            keys[t]: batch[keys[t]] for t in tasks if keys[t] in batch
+        }
+        if not imgs:
+            return {}
+        b = next(iter(imgs.values())).shape[0]
+        mb = (microbatch or 0) * max(1, data_shards)
+        if mb <= 0 or mb >= b or b % mb != 0:
+            return compute(tp, imgs)
+        chunked = {k: v.reshape(b // mb, mb, *v.shape[1:]) for k, v in imgs.items()}
+        if data_shards > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from visper_lm_tpu.parallel.mesh import DATA_AXIS
+
+            chunked = {
+                k: jax.lax.with_sharding_constraint(v, P(None, DATA_AXIS))
+                for k, v in chunked.items()
+            }
+        outs = jax.lax.map(lambda c: compute(tp, c), chunked)
+        return {k: v.reshape(b, *v.shape[2:]) for k, v in outs.items()}
 
     return teacher_fn
 

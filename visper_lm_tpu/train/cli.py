@@ -194,7 +194,8 @@ def load_teachers(args, cfg) -> tuple:
     missing = set(cfg.distill.task_order()) - set(loaded)
     if missing:
         print(f"WARNING: teachers randomly initialized (no weights found): {sorted(missing)}")
-    return T.make_teacher_fn(cfg), teacher_params
+    dp = args.dp or max(1, jax.device_count() // args.tp)
+    return T.make_teacher_fn(cfg, data_shards=dp), teacher_params
 
 
 def main() -> None:

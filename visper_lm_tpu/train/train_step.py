@@ -70,12 +70,13 @@ def make_loss_fn(
     compile payloads/times (observed: remote-compile HTTP 413 at GB-scale consts).
     """
 
-    # chunked CE when the full logits tensor would be huge (8B flagship: 128k
-    # vocab x 4k tokens in f32 is ~8 GB materialized twice by the standard path)
-    seq_len_hint = cfg.decoder.max_seq_len
-    use_chunked_ce = cfg.decoder.vocab_size * seq_len_hint >= 2 ** 28
-
     def loss_fn(params, batch, teacher_params=None):
+        # chunked CE when the full (B, T, vocab) f32 logits tensor would be huge
+        # (8B flagship: 128k vocab x 4k tokens ~8 GB materialized twice by the
+        # standard path; phi3 at B8xT1024 it's ~2 GB of the peak). Shapes are
+        # static at trace time, so this resolves per compiled batch shape.
+        b, t = batch["labels"].shape
+        use_chunked_ce = b * t * cfg.decoder.vocab_size >= 2 ** 27
         out = vlm_forward(
             params, cfg, batch, remat=remat, use_pallas=use_pallas,
             compute_logits=not use_chunked_ce,
