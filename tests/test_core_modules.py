@@ -105,7 +105,7 @@ def test_decoder_taps_match_segmented_run():
 
     out = decoder_lib.decoder_forward(params, cfg, x, tap_layers=(1, 3))
     taps = out["taps"]
-    assert taps.shape == (2, 2, 10, cfg.hidden_size)
+    assert len(taps) == 2 and taps[0].shape == (2, 10, cfg.hidden_size)
 
     # python-loop reference
     from visper_lm_tpu.models.decoder import _block_forward

@@ -234,7 +234,9 @@ def decoder_forward(
     Returns dict with:
       hidden: final-normed hidden states (B, T, D)
       logits: (B, T, vocab) in float32
-      taps: (num_taps, B, T, D) raw block outputs for tap_layers (pre final norm)
+      taps: tuple of num_taps (B, T, D) raw block outputs for tap_layers (pre
+        final norm); a tuple rather than a stacked array so no extra buffer is
+        materialized (consumers index per layer)
       cache: updated KVCache if one was passed
     """
     b, t, d = inputs_embeds.shape
@@ -309,7 +311,11 @@ def decoder_forward(
             )
             if seg_end - 1 in boundaries:
                 by_layer[seg_end - 1] = h
-        taps = jnp.stack([by_layer[l] for l in tap_layers], axis=0)
+        # tuple, NOT jnp.stack: the heads index taps per layer immediately, and a
+        # stacked (num_taps, B, T, D) buffer is a pure extra materialization
+        # (~1 GiB at B8xT1024x10 taps); the per-layer values are alive anyway as
+        # segment-boundary carries.
+        taps = tuple(by_layer[l] for l in tap_layers)
         ys = None
     else:
         xs = params["blocks"]
