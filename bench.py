@@ -154,14 +154,19 @@ def measure(args, batch_size: int):
     assert np.isfinite(loss), f"non-finite loss {loss}"
     value = batch_size / dt
     flops = train_step_flops(cfg, batch_size, seq_len)
+    from visper_lm_tpu.utils.diagnostics import teacher_flops
+
+    total_flops = flops + (teacher_flops(batch_size) if with_teachers else 0.0)
     # v5e peak: 197 TFLOP/s bf16 (velocity of light for the MFU denominator)
     peak = 197e12 if on_tpu else float("nan")
     extras = {
         "step_time_s": round(dt, 4),
         "tokens_per_sec": round(batch_size * seq_len / dt, 1),
-        "model_tflops_per_step": round(flops / 1e12, 2),
-        "achieved_tflops_per_sec": round(flops / dt / 1e12, 2),
-        "mfu": round(flops / dt / peak, 4) if on_tpu else None,
+        "model_tflops_per_step": round(total_flops / 1e12, 2),
+        "achieved_tflops_per_sec": round(total_flops / dt / 1e12, 2),
+        # student-math MFU (excl. teachers) and all-executed-math MFU
+        "mfu_student": round(flops / dt / peak, 4) if on_tpu else None,
+        "mfu": round(total_flops / dt / peak, 4) if on_tpu else None,
         "batch": batch_size,
         "seq": seq_len,
     }

@@ -156,9 +156,19 @@ def _block_forward(
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = rmsnorm(block["attn_norm"], h, cfg.norm_eps)
-    q = linear(block["q_proj"], x).reshape(b, t, nh, hd)
-    k = linear(block["k_proj"], x).reshape(b, t, nkv, hd)
-    v = linear(block["v_proj"], x).reshape(b, t, nkv, hd)
+    q = linear(block["q_proj"], x)
+    k = linear(block["k_proj"], x)
+    v = linear(block["v_proj"], x)
+    # Barrier between the projections and the head-split: without it XLA fuses
+    # dot+reshape into a convolution emitter whose preferred kernel layout
+    # ({1,2,0}, din-minor) differs from the backward's ({2,1,0}), so it
+    # materializes full relayout copies of the stacked q/k/v weights — 1.7 GiB
+    # at 4B scale. Lowered as plain dots (like o_proj) no copy is needed; q/k/v
+    # activations materialize anyway as attention-kernel inputs.
+    q, k, v = jax.lax.optimization_barrier((q, k, v))
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, nkv, hd)
+    v = v.reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

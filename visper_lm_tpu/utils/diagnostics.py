@@ -90,6 +90,29 @@ def train_step_flops(cfg, batch_size: int, seq_len: int) -> float:
     return flops
 
 
+def teacher_flops(batch_size: int) -> float:
+    """Analytic forward FLOPs for the three frozen flagship teachers, per step.
+
+    The teachers run batched inside the compiled train step (no grads):
+      * DINOv2-L @336/14 (577 tokens, h=1024, mlp=4096, 24 layers)  ~0.38 TF/img
+      * CLIP-H   @224/14 (257 tokens, h=1280, mlp=5120, 32 layers)  ~0.33 TF/img
+      * Swin-L   @768    (windowed; 12*d^2 per token per layer)     ~0.85 TF/img
+    Matmul-dominated terms only, like train_step_flops. Used to report an MFU
+    that counts ALL executed math, not just the student's.
+    """
+    vit = 2 * 577 * 24 * (4 * 1024 ** 2 + 2 * 1024 * 4096)
+    vit += 2 * 2 * 24 * 577 ** 2 * 1024  # attention scores+values fwd
+    clip = 2 * 257 * 32 * (4 * 1280 ** 2 + 2 * 1280 * 5120)
+    clip += 2 * 2 * 32 * 257 ** 2 * 1280
+    # Swin-L stages: tokens 36864/9216/2304/576, dims 192/384/768/1536,
+    # depths 2/2/18/2; 12*d^2 per token per layer (qkvo + mlp(4x))
+    swin = 0.0
+    for tok, dim, depth in ((36864, 192, 2), (9216, 384, 2),
+                            (2304, 768, 18), (576, 1536, 2)):
+        swin += 2 * tok * depth * 12 * dim ** 2
+    return batch_size * float(vit + clip + swin)
+
+
 def finite_check(tree: Any, group_depth: int = 2) -> Dict[str, Tuple[bool, float]]:
     """Per-group (finite?, abs-max) summary computed in ONE jit call.
 
