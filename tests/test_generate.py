@@ -106,7 +106,7 @@ def test_int8_kv_cache_matches_dense_decode(setup):
     np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog), rtol=1e-5, atol=1e-5)
 
     # cache contents: dequantized int8 ~= dense within one quantization step
-    dq = np.asarray(qcache.k, np.float32) * np.asarray(qcache.k_scale, np.float32)
+    dq = np.asarray(qcache.k, np.float32) * np.asarray(qcache.k_scale, np.float32)[..., None]
     dk = np.asarray(dcache.k, np.float32)
     span = dk[:, :, :128]  # prompt region only (rest is zeros in both)
     err = np.abs(dq[:, :, :128] - span).max()

@@ -13,8 +13,10 @@ TPU-first design choices (vs the reference's HF LlamaModel/Phi3Model usage,
     stacked tree so no weight copies are materialized either. taps[i] equals the
     reference's `layer_states[tap_layers[i]]` (hidden_states[1:][idx],
     ola_llama.py:119).
-  * KV caches are scanned over alongside the params, giving a (L, B, S, Nkv, H) cache
-    layout that shards naturally over the mesh.
+  * KV caches are scanned over alongside the params, giving a HEAD-MAJOR
+    (L, B, Nkv, S, H) cache layout: contiguous (head, S-block) tiles stream at
+    full bandwidth through the Pallas decode kernel, and the layout shards
+    naturally over the mesh (TP splits Nkv).
 """
 
 from __future__ import annotations
@@ -41,18 +43,25 @@ from visper_lm_tpu.utils.param import (
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, S_max, Nkv, H)
-    v: jax.Array  # (L, B, S_max, Nkv, H)
+    """Head-major cache: (L, B, Nkv, S_max, H).
+
+    Each (head, S-block) tile is contiguous, so the Pallas decode kernel's block
+    DMAs stream at full bandwidth (a sequence-major layout would fetch 1/Nkv of
+    every tile); matches the (B, N, T, H) convention of ops/flash_attention.py.
+    """
+
+    k: jax.Array  # (L, B, Nkv, S_max, H)
+    v: jax.Array  # (L, B, Nkv, S_max, H)
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
     cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
@@ -64,24 +73,23 @@ class QuantKVCache(NamedTuple):
     dequantization is a fused multiply at attention time.
     """
 
-    k: jax.Array        # (L, B, S_max, Nkv, H) int8
-    v: jax.Array        # (L, B, S_max, Nkv, H) int8
-    k_scale: jax.Array  # (L, B, S_max, Nkv, 1) float32
-    v_scale: jax.Array  # (L, B, S_max, Nkv, 1) float32
+    k: jax.Array        # (L, B, Nkv, S_max, H) int8
+    v: jax.Array        # (L, B, Nkv, S_max, H) int8
+    k_scale: jax.Array  # (L, B, Nkv, S_max) float32
+    v_scale: jax.Array  # (L, B, Nkv, S_max) float32
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_quant_kv_cache(cfg: DecoderConfig, batch: int, max_len: int) -> QuantKVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    sshape = shape[:-1] + (1,)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return QuantKVCache(
         k=jnp.zeros(shape, dtype=jnp.int8),
         v=jnp.zeros(shape, dtype=jnp.int8),
-        k_scale=jnp.ones(sshape, dtype=jnp.float32),
-        v_scale=jnp.ones(sshape, dtype=jnp.float32),
+        k_scale=jnp.ones(shape[:-1], dtype=jnp.float32),
+        v_scale=jnp.ones(shape[:-1], dtype=jnp.float32),
     )
 
 
@@ -176,20 +184,27 @@ def _block_forward(
     if cache_kv is not None:
         start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
         quant = len(cache_kv) == 4
+        # head-major cache layout: computed (B, T, Nkv, H) -> stored (B, Nkv, T, H)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
         if quant:
             ck, cv, cks, cvs = cache_kv
-            kq, ksc = _quantize_head_vectors(k)
-            vq, vsc = _quantize_head_vectors(v)
-            ck = jax.lax.dynamic_update_slice(ck, kq, (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vq, (0, start, 0, 0))
-            cks = jax.lax.dynamic_update_slice(cks, ksc, (0, start, 0, 0))
-            cvs = jax.lax.dynamic_update_slice(cvs, vsc, (0, start, 0, 0))
+            kq, ksc = _quantize_head_vectors(kt)
+            vq, vsc = _quantize_head_vectors(vt)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, start, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, start, 0))
+            cks = jax.lax.dynamic_update_slice(cks, ksc[..., 0], (0, 0, start))
+            cvs = jax.lax.dynamic_update_slice(cvs, vsc[..., 0], (0, 0, start))
             new_cache = (ck, cv, cks, cvs)
         else:
             ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, start, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, start, 0))
             new_cache = (ck, cv)
+        on_tpu = (
+            use_pallas if use_pallas is not None
+            else jax.devices()[0].platform == "tpu"
+        )
         if isinstance(q_offset, int) and q_offset == 0 and t > 1:
             # PREFILL: the cache beyond this chunk is empty, so attention over the
             # chunk itself is exact — eligible for the flash kernel (incl. the
@@ -198,15 +213,30 @@ def _block_forward(
                 q, k, v, causal=True, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 use_pallas=use_pallas,
             )
+        elif t == 1 and on_tpu:
+            # single-token decode step: flash-decode kernel reads the cache ONCE
+            # at stored width (int8 dequants in-register) — cache traffic at the
+            # streaming roofline instead of the XLA f32-upcast/dequant copies
+            from visper_lm_tpu.ops.decode_attention import decode_attention
+
+            if quant:
+                attn = decode_attention(
+                    q, ck, cv, cks, cvs, kv_lengths=kv_lengths,
+                    kv_starts=kv_starts,
+                )
+            else:
+                attn = decode_attention(
+                    q, ck, cv, kv_lengths=kv_lengths, kv_starts=kv_starts,
+                )
         else:
             if quant:
-                # lazy dequant: int8 + f32 scale stream from HBM (half the bytes of
-                # bf16); the multiply fuses into the attention matmul's operand load
-                ck = ck.astype(k.dtype) * cks.astype(k.dtype)
-                cv = cv.astype(v.dtype) * cvs.astype(v.dtype)
+                # lazy dequant: int8 + f32 scale stream from HBM (half the bytes
+                # of bf16); XLA fuses the multiply where it can
+                ck = ck.astype(k.dtype) * cks.astype(k.dtype)[..., None]
+                cv = cv.astype(v.dtype) * cvs.astype(v.dtype)[..., None]
             attn = mha_xla(
-                q, ck, cv, causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
-                kv_starts=kv_starts,
+                q, jnp.swapaxes(ck, 1, 2), jnp.swapaxes(cv, 1, 2), causal=True,
+                q_offset=q_offset, kv_lengths=kv_lengths, kv_starts=kv_starts,
             )
     else:
         attn = multi_head_attention(

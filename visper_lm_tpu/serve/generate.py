@@ -107,7 +107,10 @@ class Generator:
         self.prompt_len = prompt_len
         chunk = max(gen_cfg.decode_chunk, 1)
         n_chunks = -(-gen_cfg.max_new_tokens // chunk)
-        self.max_len = prompt_len + n_chunks * chunk + 1
+        # round the cache length to a multiple of 128 so the Pallas decode
+        # kernel gets well-tiled KV blocks (positions past the valid length are
+        # masked; the extra slots cost only cache zeros)
+        self.max_len = -(-(prompt_len + n_chunks * chunk + 1) // 128) * 128
         self.cache_dtype = cache_dtype
         self._prefill = jax.jit(self._prefill_impl)
         self._step = jax.jit(self._step_impl)
