@@ -127,26 +127,79 @@ def make_teacher_fn(
 
 
 def teacher_batch_from_pil(cfg: VLMConfig, pil_images) -> Dict[str, np.ndarray]:
-    """Host-side: per-teacher preprocessed pixel tensors for a list of PIL images."""
+    """Host-side: per-teacher preprocessed pixel tensors for a list of PIL images.
+
+    Uses the native (C++/OpenMP) fused resize+normalize when built — three pixel
+    pipelines per sample at 336/224/768 px are the dominant host cost of a PT
+    step (~42 ms/image in PIL; the trainer's prefetch overlaps it, but the host
+    must still keep up with the chip). Teacher targets are soft distillation
+    targets, so the native resampler's sub-1% deviation from PIL's fixed-point
+    kernels is immaterial here; EVAL pixel paths (tower inputs in eval/, serve/)
+    stay PIL-exact for score parity with the reference (SURVEY §7 hard part 3).
+    """
+    from visper_lm_tpu import native
+    from visper_lm_tpu.data.mm_utils import (
+        CLIP_IMAGE_MEAN,
+        CLIP_IMAGE_STD,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        normalize_image,
+    )
+
     d = cfg.distill
     assert d is not None
     tasks = {t.task for t in d.tasks}
+    fast = native.available()
+
+    def depth_native(im) -> np.ndarray:
+        # dav2_preprocess_np = resize(336) -> BGR swap -> ImageNet normalize;
+        # normalize-with-reversed-stats then channel-flip is the same function
+        arr = native.resize_normalize(
+            np.asarray(im.convert("RGB")), 336,
+            IMAGENET_MEAN[::-1], IMAGENET_STD[::-1], native.BICUBIC,
+        )
+        return arr[..., ::-1]
+
+    def gen_native(im) -> np.ndarray:
+        # CLIPImageProcessor @224: shortest-edge bicubic resize -> center crop
+        # -> normalize (crop commutes with the fused normalize)
+        im = im.convert("RGB")
+        w, h = im.size
+        size = 224
+        if min(w, h) == size:
+            nw, nh = w, h
+        elif w <= h:
+            nw, nh = size, int(size * h / w)
+        else:
+            nw, nh = int(size * w / h), size
+        arr = native.resize_normalize(
+            np.asarray(im), (nh, nw), CLIP_IMAGE_MEAN, CLIP_IMAGE_STD,
+            native.BICUBIC,
+        )
+        top, left = (nh - size) // 2, (nw - size) // 2
+        return arr[top:top + size, left:left + size]
+
+    def seg_native(im) -> np.ndarray:
+        return native.resize_normalize(
+            np.asarray(im.convert("RGB")), 768, IMAGENET_MEAN, IMAGENET_STD,
+            native.BICUBIC,
+        )
+
     out: Dict[str, np.ndarray] = {}
     if "depth" in tasks:
-        out["depth_images"] = np.stack(
-            [dinov2_lib.dav2_preprocess_np(im) for im in pil_images]
-        )
+        fn = depth_native if fast else dinov2_lib.dav2_preprocess_np
+        out["depth_images"] = np.stack([fn(im) for im in pil_images])
     if "gen" in tasks:
-        out["gen_images"] = np.stack(
-            [unclip_lib.unclip_preprocess_np(im) for im in pil_images]
-        )
+        fn = gen_native if fast else unclip_lib.unclip_preprocess_np
+        out["gen_images"] = np.stack([fn(im) for im in pil_images])
     if "seg" in tasks:
-        from visper_lm_tpu.data.mm_utils import IMAGENET_MEAN, IMAGENET_STD, normalize_image
-
-        out["seg_images"] = np.stack(
-            [
-                normalize_image(im.resize((768, 768)), IMAGENET_MEAN, IMAGENET_STD)
-                for im in pil_images
-            ]
-        )
+        if fast:
+            out["seg_images"] = np.stack([seg_native(im) for im in pil_images])
+        else:
+            out["seg_images"] = np.stack(
+                [
+                    normalize_image(im.resize((768, 768)), IMAGENET_MEAN, IMAGENET_STD)
+                    for im in pil_images
+                ]
+            )
     return out
