@@ -42,14 +42,14 @@ NEG_INF = -2.3819763e38
 
 
 def _largest_divisor_block(n: int, target: int) -> int:
-    """Largest multiple-of-8 divisor of n that is <= target, else n itself.
+    """Largest multiple-of-128 divisor of n that is <= target, else n itself.
 
-    (Mosaic requires the second-to-last block dim be divisible by 8 or equal to
-    the array dim; generators round max_len to a multiple of 128 so a good
-    block always exists.)"""
+    The S block is the LANE dim of the scale tiles, so it must be a multiple of
+    128 (or the whole array dim); generators round max_len to a multiple of 128
+    so a good block always exists."""
     if n <= target:
         return n
-    for b in range(target - target % 8, 7, -8):
+    for b in range(target - target % 128, 127, -128):
         if n % b == 0:
             return b
     return n
@@ -76,21 +76,22 @@ def _decode_kernel(
     valid = (pos >= kvstart_ref[b]) & (pos < kvlen_ref[b])
 
     # fori over heads (NOT a python unroll — unrolling keeps every head's
-    # dequant/score temporaries live at once and blows the 16M scoped-VMEM
-    # stack): each head is a (G,H)x(H,bk) matvec over the in-VMEM block; the
-    # scratch is (Nkv, G, ...) so the head dim is a dynamic, untiled index
+    # score temporaries live at once and blows the 16M scoped-VMEM stack):
+    # each head is a (G,H)x(H,bk) matvec over the in-VMEM block; the scratch is
+    # (Nkv, G, ...) so the head dim is a dynamic, untiled index.
+    #
+    # int8 dequant happens on the SCORES, not the cache block: q.(k*s) equals
+    # (q.k)*s per position, and p@(v*s) equals (p*s)@v — a (G,bk) row multiply
+    # instead of a (bk,H) block multiply, and the scale block stays (1,bk)-
+    # shaped (lane-major; a (bk,1) block would be lane-padded x128 in VMEM).
     def head_body(hh, _):
-        k = k_ref[0, hh]                                  # (bk, H)
-        v = v_ref[0, hh]                                  # (bk, H)
         q = q_ref[0, hh]                                  # (G, H)
-        if quant:
-            k = (k.astype(jnp.float32) * ks_ref[0, hh]).astype(q.dtype)
-            v = (v.astype(jnp.float32) * vs_ref[0, hh]).astype(q.dtype)
-        else:
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
+        k = k_ref[0, hh].astype(q.dtype)                  # (bk, H) raw int values
+        v = v_ref[0, hh].astype(q.dtype)                  # (bk, H)
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (G, bk)
+        if quant:
+            s = s * ks_ref[0, hh]                         # (1, bk) broadcast
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[hh]                                # (G, 1)
@@ -99,8 +100,9 @@ def _decode_kernel(
         p = jnp.exp(s - safe_m)                           # masked -> exactly 0
         alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))
         l_ref[hh] = alpha * l_ref[hh] + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vs_ref[0, hh] if quant else p            # fold V scales into p
         acc_ref[hh] = acc_ref[hh] * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            pv.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         m_ref[hh] = m_new
         return 0
@@ -154,12 +156,17 @@ def decode_attention(
     ]
     inputs = [qg, k, v]
     if quant:
-        # trailing unit dim keeps the block 2D-tileable ((bk, 1) last-two dims)
+        # scales as (B, Nkv, 1, S): the S block sits in the LANE dim, matching
+        # the (1, bk) row shape the kernel multiplies scores by — a (bk, 1)
+        # block would be lane-padded x128 in VMEM (measured: 17.6M scoped OOM)
+        def sc_map(b_, kj, *refs):
+            return (b_, 0, 0, kj)
+
         in_specs += [
-            pl.BlockSpec((1, nkv, bk, 1), kv_map),
-            pl.BlockSpec((1, nkv, bk, 1), kv_map),
+            pl.BlockSpec((1, nkv, 1, bk), sc_map),
+            pl.BlockSpec((1, nkv, 1, bk), sc_map),
         ]
-        inputs += [k_scale[..., None], v_scale[..., None]]
+        inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
     else:
         # dummy placeholders keep the kernel signature static
         in_specs += [
