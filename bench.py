@@ -177,7 +177,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
     parser.add_argument("--steps", type=int, default=8)
-    parser.add_argument("--batch", type=int, default=8)
+    # default = the measured per-chip sweet spot (B4 saturates the MXU at
+    # T1024; B8 fits since round 2 but adds HBM pressure for no gain)
+    parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--seq", type=int, default=1024)
     parser.add_argument("--sweep", default=None,
                         help="comma-separated batch sizes; reports the best")

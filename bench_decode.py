@@ -62,19 +62,46 @@ def main() -> None:
         params, cfg,
         GenerationConfig(max_new_tokens=new, kv_quant=args.kv_quant), B, prompt,
     )
-    out = gen.generate(dict(batch))                      # compile
+    out = gen.generate(dict(batch))                      # compile both phases
+    n_tok = sum(len(o) for o in out)
+
+    # phase timing: prefill (one multimodal forward + cache fill) vs the decode
+    # chunk loop (generate() interleaves host work, so time the jits directly)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    t0 = time.perf_counter()
+    logits, cache = gen._prefill(params, jbatch)
+    float(jnp.sum(logits))                               # host sync (relay-safe)
+    prefill_s = time.perf_counter() - t0
+
+    token = jnp.argmax(logits, axis=-1)
+    offsets = jbatch["pad_offsets"]
+    key = jax.random.PRNGKey(0)
+    chunk = gen.gen_cfg.decode_chunk
+    n_chunks = max(new // chunk, 1)
+    toks, cache = gen._step(params, cache, token, jnp.int32(0), offsets, key)  # warm
+    t0 = time.perf_counter()
+    step = chunk
+    for _ in range(n_chunks):
+        toks, cache = gen._step(params, cache, token, jnp.int32(step), offsets, key)
+        step += chunk
+    float(jnp.sum(toks))                                 # host sync
+    decode_s = time.perf_counter() - t0
+    decode_tok_s = B * n_chunks * chunk / decode_s
+
     t0 = time.perf_counter()
     out = gen.generate(dict(batch))
     dt = time.perf_counter() - t0
-    n_tok = sum(len(o) for o in out)
     print(
         json.dumps(
             {
                 "metric": "greedy_decode_tokens_per_sec",
-                "value": round(n_tok / dt, 2),
+                "value": round(decode_tok_s, 2),
                 "unit": "tokens/s",
                 "batch": B,
-                "tokens_per_sec_per_seq": round(n_tok / dt / B, 2),
+                "tokens_per_sec_per_seq": round(decode_tok_s / B, 2),
+                "decode_step_ms": round(1000 * decode_s / (n_chunks * chunk), 2),
+                "prefill_s": round(prefill_s, 3),
+                "e2e_tokens_per_sec": round(n_tok / dt, 2),
             }
         )
     )

@@ -22,6 +22,7 @@ TPU-first design choices (vs the reference's HF LlamaModel/Phi3Model usage,
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -213,7 +214,7 @@ def _block_forward(
                 q, k, v, causal=True, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 use_pallas=use_pallas,
             )
-        elif t == 1 and on_tpu:
+        elif t == 1 and on_tpu and not os.environ.get("VISPER_NO_DECODE_KERNEL"):
             # single-token decode step: flash-decode kernel reads the cache ONCE
             # at stored width (int8 dequants in-register) — cache traffic at the
             # streaming roofline instead of the XLA f32-upcast/dequant copies

@@ -8,11 +8,12 @@ reads the cache ONCE at its stored width (bf16, or int8 + per-vector scales),
 dequantizes in-register, and runs an online-softmax accumulation over KV blocks,
 so decode sits at the cache+weights streaming roofline.
 
-Granularity: one program handles ALL KV heads for one (batch, S-block) tile —
-per-head decode arithmetic is a (G,H)x(H,bk) matvec, far too small to amortize
-program/DMA overhead per head (measured 1.4x SLOWER than the XLA path with a
-head-per-program grid); with an in-program fori loop over heads the block DMA
-is ~MBs and the grid stays (B, S/bk).
+Granularity: one program handles ALL KV heads for one (batch, S-block) tile,
+and the scores for every head come from one broadcast-multiply + lane-reduce
+over the (Nkv, bk, H) block. T=1 attention has no MXU-shaped matmul in it:
+a head-per-program grid (tiny matvecs) measured 1.4x slower than the XLA
+path, and an in-program loop over heads serializes the VPU — full
+vectorization over heads is what makes the kernel win.
 
 Layout: the cache is head-major (B, Nkv, S, H) — each (head, S-block) tile is
 contiguous, so block DMAs stream at full bandwidth (a (B, S, Nkv, H) layout
@@ -73,41 +74,39 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     pos = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    valid = (pos >= kvstart_ref[b]) & (pos < kvlen_ref[b])
+    valid = (pos >= kvstart_ref[b]) & (pos < kvlen_ref[b])   # (1, bk)
 
-    # fori over heads (NOT a python unroll — unrolling keeps every head's
-    # score temporaries live at once and blows the 16M scoped-VMEM stack):
-    # each head is a (G,H)x(H,bk) matvec over the in-VMEM block; the scratch is
-    # (Nkv, G, ...) so the head dim is a dynamic, untiled index.
+    # T=1 decode attention is (per q head) a (H,)x(H,bk) matvec — hopeless MXU
+    # shapes, and a loop over heads serializes the VPU (measured SLOWER than the
+    # XLA path). Instead every score for every head is one broadcast-multiply +
+    # lane-reduce over the whole (Nkv, bk, H) block; only the small query-group
+    # dim G is a python loop (G=1 for MHA, <=4 for the GQA families here).
     #
     # int8 dequant happens on the SCORES, not the cache block: q.(k*s) equals
-    # (q.k)*s per position, and p@(v*s) equals (p*s)@v — a (G,bk) row multiply
-    # instead of a (bk,H) block multiply, and the scale block stays (1,bk)-
-    # shaped (lane-major; a (bk,1) block would be lane-padded x128 in VMEM).
-    def head_body(hh, _):
-        q = q_ref[0, hh]                                  # (G, H)
-        k = k_ref[0, hh].astype(q.dtype)                  # (bk, H) raw int values
-        v = v_ref[0, hh].astype(q.dtype)                  # (bk, H)
+    # (q.k)*s per position, and p@(v*s) equals (p*s)@v — an (Nkv, bk) multiply
+    # instead of an (Nkv, bk, H) one, and the scale block stays lane-major
+    # (a (bk, 1) tile would be lane-padded x128 in VMEM).
+    k = k_ref[0].astype(jnp.float32)                      # (Nkv, bk, H)
+    v = v_ref[0].astype(jnp.float32)                      # (Nkv, bk, H)
+    ks = ks_ref[0][:, 0, :] if quant else None            # (Nkv, bk)
+    vs = vs_ref[0][:, 0, :] if quant else None
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (G, bk)
+    for gg in range(g):
+        q = q_ref[0, gg].astype(jnp.float32)              # (Nkv, H)
+        s = jnp.sum(q[:, None, :] * k, axis=2) * scale    # (Nkv, bk)
         if quant:
-            s = s * ks_ref[0, hh]                         # (1, bk) broadcast
+            s = s * ks
         s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_ref[hh]                                # (G, 1)
+        m_prev = m_ref[gg]                                # (Nkv, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         safe_m = jnp.where(m_new == NEG_INF, 0.0, m_new)
         p = jnp.exp(s - safe_m)                           # masked -> exactly 0
         alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))
-        l_ref[hh] = alpha * l_ref[hh] + jnp.sum(p, axis=1, keepdims=True)
-        pv = p * vs_ref[0, hh] if quant else p            # fold V scales into p
-        acc_ref[hh] = acc_ref[hh] * alpha + jnp.dot(
-            pv.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        m_ref[hh] = m_new
-        return 0
-
-    jax.lax.fori_loop(0, nkv, head_body, 0, unroll=False)
+        l_ref[gg] = alpha * l_ref[gg] + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vs if quant else p                       # fold V scales into p
+        acc_ref[gg] = acc_ref[gg] * alpha + jnp.sum(pv[:, :, None] * v, axis=1)
+        m_ref[gg] = m_new
 
     @pl.when(is_last)
     def _finalize():
@@ -141,7 +140,9 @@ def decode_attention(
     if kv_starts is None:
         kv_starts = jnp.zeros((b,), dtype=jnp.int32)
 
-    qg = q.reshape(b, nkv, g, h)
+    # (B, G, Nkv, H): the kernel vectorizes over all KV heads at once and loops
+    # only the small query-group dim
+    qg = jnp.swapaxes(q.reshape(b, nkv, g, h), 1, 2)
 
     def qo_map(b_, kj, *refs):
         return (b_, 0, 0, 0)
@@ -150,7 +151,7 @@ def decode_attention(
         return (b_, 0, kj, 0)
 
     in_specs = [
-        pl.BlockSpec((1, nkv, g, h), qo_map),
+        pl.BlockSpec((1, g, nkv, h), qo_map),
         pl.BlockSpec((1, nkv, bk, h), kv_map),
         pl.BlockSpec((1, nkv, bk, h), kv_map),
     ]
@@ -184,18 +185,18 @@ def decode_attention(
             num_scalar_prefetch=2,
             grid=(b, s // bk),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, nkv, g, h), qo_map),
+            out_specs=pl.BlockSpec((1, g, nkv, h), qo_map),
             scratch_shapes=[
-                pltpu.VMEM((nkv, g, h), jnp.float32),
-                pltpu.VMEM((nkv, g, 1), jnp.float32),
-                pltpu.VMEM((nkv, g, 1), jnp.float32),
+                pltpu.VMEM((g, nkv, h), jnp.float32),
+                pltpu.VMEM((g, nkv, 1), jnp.float32),
+                pltpu.VMEM((g, nkv, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, h), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, nkv, h), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_lengths.astype(jnp.int32), kv_starts.astype(jnp.int32), *inputs)
 
-    return out.reshape(b, 1, nq, h)
+    return jnp.swapaxes(out, 1, 2).reshape(b, 1, nq, h)
