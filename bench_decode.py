@@ -87,6 +87,7 @@ def main() -> None:
     float(jnp.sum(toks))                                 # host sync
     decode_s = time.perf_counter() - t0
     decode_tok_s = B * n_chunks * chunk / decode_s
+    del toks, cache, logits                              # free before e2e pass
 
     t0 = time.perf_counter()
     out = gen.generate(dict(batch))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from visper_lm_tpu.config import DecoderConfig
 from visper_lm_tpu.models.rope import apply_rope, rope_cos_sin
-from visper_lm_tpu.ops.attention import mha_xla, multi_head_attention
+from visper_lm_tpu.ops.attention import mha_xla, mha_xla_headmajor, multi_head_attention
 from visper_lm_tpu.utils.param import (
     Params,
     embed,
@@ -214,10 +214,13 @@ def _block_forward(
                 q, k, v, causal=True, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 use_pallas=use_pallas,
             )
-        elif t == 1 and on_tpu and not os.environ.get("VISPER_NO_DECODE_KERNEL"):
-            # single-token decode step: flash-decode kernel reads the cache ONCE
-            # at stored width (int8 dequants in-register) — cache traffic at the
-            # streaming roofline instead of the XLA f32-upcast/dequant copies
+        elif t == 1 and on_tpu and os.environ.get("VISPER_DECODE_KERNEL"):
+            # OPT-IN Pallas flash-decode kernel. Measured on v5e (B8, int8,
+            # S=1024): 44.0 ms/step vs 39.1 for the head-major XLA path below —
+            # T=1 attention has no MXU shape, and the kernel's cross-lane
+            # reductions lose to XLA's fused einsum pipeline. Kept (with parity
+            # tests) as the seam for future Mosaic work; see
+            # ops/decode_attention.py for the measured design space.
             from visper_lm_tpu.ops.decode_attention import decode_attention
 
             if quant:
@@ -230,14 +233,14 @@ def _block_forward(
                     q, ck, cv, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 )
         else:
-            if quant:
-                # lazy dequant: int8 + f32 scale stream from HBM (half the bytes
-                # of bf16); XLA fuses the multiply where it can
-                ck = ck.astype(k.dtype) * cks.astype(k.dtype)[..., None]
-                cv = cv.astype(v.dtype) * cvs.astype(v.dtype)[..., None]
-            attn = mha_xla(
-                q, jnp.swapaxes(ck, 1, 2), jnp.swapaxes(cv, 1, 2), causal=True,
-                q_offset=q_offset, kv_lengths=kv_lengths, kv_starts=kv_starts,
+            # head-major XLA attention: reads the cache in its stored layout
+            # (a per-step swapaxes would copy the whole cache) and folds the
+            # int8 scales into the scores (no dequant materialization)
+            attn = mha_xla_headmajor(
+                q, ck, cv,
+                cks if quant else None, cvs if quant else None,
+                causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
+                kv_starts=kv_starts,
             )
     else:
         attn = multi_head_attention(

@@ -139,3 +139,71 @@ def multi_head_attention(
         q, k, v, causal=causal, q_offset=q_offset, kv_lengths=kv_lengths,
         kv_starts=kv_starts, scale=scale,
     )
+
+
+def mha_xla_headmajor(
+    q: jax.Array,                          # (B, T, Nq, H)
+    k: jax.Array,                          # (B, Nkv, S, H) bf16/f32 or int8
+    v: jax.Array,                          # (B, Nkv, S, H)
+    k_scale: Optional[jax.Array] = None,   # (B, Nkv, S) f32 when k is int8
+    v_scale: Optional[jax.Array] = None,
+    *,
+    causal: bool = True,
+    q_offset: "int | jax.Array" = 0,
+    kv_lengths: Optional[jax.Array] = None,
+    kv_starts: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention over a HEAD-MAJOR (B, Nkv, S, H) cache with no layout copies.
+
+    The decode cache is stored head-major (models/decoder.KVCache); transposing
+    it per step for `mha_xla` copies the whole cache (~100 MB/layer at 4B scale,
+    measured +25% decode step time). This variant einsums directly over the
+    stored layout, handles GQA by a grouped query reshape instead of
+    materializing repeated K/V, and folds the int8 per-vector scales into the
+    SCORES (q.(k*s) == (q.k)*s; p@(v*s) == (p*s)@v) so the quantized cache is
+    read once at stored width and never dequant-materialized.
+    """
+    b, t, nq, h = q.shape
+    nkv, s = k.shape[1], k.shape[2]
+    g = nq // nkv
+    if scale is None:
+        scale = h ** -0.5
+
+    # bf16 dot operands (f32 accumulate) on TPU: the MXU runs bf16 at full
+    # rate, and a .astype(f32) of the cache would materialize full f32 copies
+    # per layer per step; the int8->bf16 convert fuses into the dot's operand
+    # load. The CPU backend lacks mixed bf16->f32 dots — keep f32 there.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dot_t = jnp.bfloat16 if on_tpu else jnp.float32
+    qf = (q.astype(jnp.float32) * scale).reshape(b, t, nkv, g, h)
+    logits = jnp.einsum(
+        "btkgh,bksh->bkgts", qf.astype(dot_t), k.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    )
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, None, :]
+
+    mask = None
+    if causal:
+        off = jnp.asarray(q_offset).reshape((-1, 1, 1))
+        q_pos = off + jnp.arange(t)[None, :, None]           # (B or 1, T, 1)
+        kv_pos = jnp.arange(s)[None, None, :]                # (1, 1, S)
+        mask = (q_pos >= kv_pos)[:, None, None, :, :]        # (B or 1,1,1,T,S)
+    if kv_lengths is not None:
+        valid = (jnp.arange(s)[None, :] < kv_lengths[:, None])[:, None, None, None, :]
+        mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if kv_starts is not None:
+        valid = (jnp.arange(s)[None, :] >= kv_starts[:, None])[:, None, None, None, :]
+        mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, None, :]
+    out = jnp.einsum(
+        "bkgts,bksh->btkgh", probs.astype(dot_t), v.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, nq, h).astype(q.dtype)

@@ -141,8 +141,16 @@ class Generator:
             kv_lengths=jnp.full((self.batch_size,), self.prompt_len, jnp.int32),
             kv_starts=offsets,
             cache=cache, q_offset=0, tap_layers=(),
+            compute_logits=False,
         )
-        next_logits = out["logits"][:, -1]
+        # only the LAST position's logits are needed: the full (B, T, vocab)
+        # f32 tensor is ~1.6 GiB at B16xT768 and was the prefill OOM at batch 16
+        last = out["hidden"][:, -1]
+        dp = params["decoder"]
+        if cfg.decoder.tie_embeddings:
+            next_logits = (last @ dp["embed_tokens"]["embedding"].T).astype(jnp.float32)
+        else:
+            next_logits = (last @ dp["lm_head"]["kernel"]).astype(jnp.float32)
         return next_logits, out["cache"]
 
     def _step_impl(self, params, cache, token, step, offsets, key):
