@@ -13,16 +13,16 @@ TPU-first design choices (vs the reference's HF LlamaModel/Phi3Model usage,
     stacked tree so no weight copies are materialized either. taps[i] equals the
     reference's `layer_states[tap_layers[i]]` (hidden_states[1:][idx],
     ola_llama.py:119).
-  * KV caches are scanned over alongside the params, giving a HEAD-MAJOR
-    (L, B, Nkv, S, H) cache layout: contiguous (head, S-block) tiles stream at
-    full bandwidth through the Pallas decode kernel, and the layout shards
-    naturally over the mesh (TP splits Nkv).
+  * KV caches are scanned over alongside the params, stored SLOT-MAJOR
+    (L, S, B, Nkv, H) — the layout XLA's TPU layout assignment picks for the
+    decode loop (per-step single-token writes are contiguous, so the
+    dynamic-update-slice is in-place; any other order relayout-copies the
+    whole cache every step). TP still shards Nkv.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from visper_lm_tpu.config import DecoderConfig
 from visper_lm_tpu.models.rope import apply_rope, rope_cos_sin
-from visper_lm_tpu.ops.attention import mha_xla, mha_xla_headmajor, multi_head_attention
+from visper_lm_tpu.ops.attention import mha_xla_cache, multi_head_attention
 from visper_lm_tpu.utils.param import (
     Params,
     embed,
@@ -44,25 +44,28 @@ from visper_lm_tpu.utils.param import (
 
 
 class KVCache(NamedTuple):
-    """Head-major cache: (L, B, Nkv, S_max, H).
+    """Slot-major cache: (L, S_max, B, Nkv, H).
 
-    Each (head, S-block) tile is contiguous, so the Pallas decode kernel's block
-    DMAs stream at full bandwidth (a sequence-major layout would fetch 1/Nkv of
-    every tile); matches the (B, N, T, H) convention of ops/flash_attention.py.
+    This is the layout XLA's TPU layout assignment picks for the decode loop
+    (observed {4,2,1,3,0} on the 5D cache): the per-step single-token write
+    (all batch x heads at one slot) is one contiguous slab, so the
+    dynamic-update-slice is in-place. Any OTHER logical order made XLA
+    relayout-copy the ENTIRE cache (2x ~2 GiB temps per step at B16 — both the
+    round-1 sequence-major and the head-major experiment paid this).
     """
 
-    k: jax.Array  # (L, B, Nkv, S_max, H)
-    v: jax.Array  # (L, B, Nkv, S_max, H)
+    k: jax.Array  # (L, S_max, B, Nkv, H)
+    v: jax.Array  # (L, S_max, B, Nkv, H)
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[1]
 
 
 def init_kv_cache(
     cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
@@ -74,18 +77,18 @@ class QuantKVCache(NamedTuple):
     dequantization is a fused multiply at attention time.
     """
 
-    k: jax.Array        # (L, B, Nkv, S_max, H) int8
-    v: jax.Array        # (L, B, Nkv, S_max, H) int8
-    k_scale: jax.Array  # (L, B, Nkv, S_max) float32
-    v_scale: jax.Array  # (L, B, Nkv, S_max) float32
+    k: jax.Array        # (L, S_max, B, Nkv, H) int8
+    v: jax.Array        # (L, S_max, B, Nkv, H) int8
+    k_scale: jax.Array  # (L, S_max, B, Nkv) float32
+    v_scale: jax.Array  # (L, S_max, B, Nkv) float32
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[1]
 
 
 def init_quant_kv_cache(cfg: DecoderConfig, batch: int, max_len: int) -> QuantKVCache:
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     return QuantKVCache(
         k=jnp.zeros(shape, dtype=jnp.int8),
         v=jnp.zeros(shape, dtype=jnp.int8),
@@ -183,64 +186,40 @@ def _block_forward(
 
     new_cache = None
     if cache_kv is not None:
-        start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
+        # The cache slice holds tokens [0, q_offset) and is NEVER written here:
+        # the current chunk's K/V attend as in-register "extras" and the caller
+        # writes only the tiny new-token slab into the stacked cache carry.
+        # (A write-then-read slice would force XLA to materialize a fresh copy
+        # of the whole per-layer cache every step.)
         quant = len(cache_kv) == 4
-        # head-major cache layout: computed (B, T, Nkv, H) -> stored (B, Nkv, T, H)
-        kt = jnp.swapaxes(k, 1, 2)
-        vt = jnp.swapaxes(v, 1, 2)
+        # slot-major: computed (B, T, Nkv, H) -> stored (T, B, Nkv, H)
+        kt = jnp.swapaxes(k, 0, 1)
+        vt = jnp.swapaxes(v, 0, 1)
         if quant:
-            ck, cv, cks, cvs = cache_kv
             kq, ksc = _quantize_head_vectors(kt)
             vq, vsc = _quantize_head_vectors(vt)
-            ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, start, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, start, 0))
-            cks = jax.lax.dynamic_update_slice(cks, ksc[..., 0], (0, 0, start))
-            cvs = jax.lax.dynamic_update_slice(cvs, vsc[..., 0], (0, 0, start))
-            new_cache = (ck, cv, cks, cvs)
+            new_cache = (kq, vq, ksc[..., 0], vsc[..., 0])
         else:
-            ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, start, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, start, 0))
-            new_cache = (ck, cv)
-        on_tpu = (
-            use_pallas if use_pallas is not None
-            else jax.devices()[0].platform == "tpu"
-        )
+            new_cache = (kt, vt)
         if isinstance(q_offset, int) and q_offset == 0 and t > 1:
-            # PREFILL: the cache beyond this chunk is empty, so attention over the
-            # chunk itself is exact — eligible for the flash kernel (incl. the
-            # left-pad kv_starts mask), instead of the XLA path over the full cache.
+            # PREFILL: the cache is empty, so attention over the chunk itself
+            # is exact — eligible for the flash kernel (incl. the left-pad
+            # kv_starts mask), instead of the XLA path over the full cache.
             attn = multi_head_attention(
                 q, k, v, causal=True, kv_lengths=kv_lengths, kv_starts=kv_starts,
                 use_pallas=use_pallas,
             )
-        elif t == 1 and on_tpu and os.environ.get("VISPER_DECODE_KERNEL"):
-            # OPT-IN Pallas flash-decode kernel. Measured on v5e (B8, int8,
-            # S=1024): 44.0 ms/step vs 39.1 for the head-major XLA path below —
-            # T=1 attention has no MXU shape, and the kernel's cross-lane
-            # reductions lose to XLA's fused einsum pipeline. Kept (with parity
-            # tests) as the seam for future Mosaic work; see
-            # ops/decode_attention.py for the measured design space.
-            from visper_lm_tpu.ops.decode_attention import decode_attention
-
-            if quant:
-                attn = decode_attention(
-                    q, ck, cv, cks, cvs, kv_lengths=kv_lengths,
-                    kv_starts=kv_starts,
-                )
-            else:
-                attn = decode_attention(
-                    q, ck, cv, kv_lengths=kv_lengths, kv_starts=kv_starts,
-                )
         else:
-            # head-major XLA attention: reads the cache in its stored layout
-            # (a per-step swapaxes would copy the whole cache) and folds the
-            # int8 scales into the scores (no dequant materialization)
-            attn = mha_xla_headmajor(
+            # slot-major XLA attention: reads the cache in its stored layout
+            # (any per-step relayout copies the whole cache), folds the int8
+            # scales into the scores (no dequant materialization), and attends
+            # the current chunk via extras
+            ck, cv = cache_kv[0], cache_kv[1]
+            attn = mha_xla_cache(
                 q, ck, cv,
-                cks if quant else None, cvs if quant else None,
-                causal=True, q_offset=q_offset, kv_lengths=kv_lengths,
-                kv_starts=kv_starts,
+                cache_kv[2] if quant else None, cache_kv[3] if quant else None,
+                extra_k=k, extra_v=v,
+                cache_len=q_offset, kv_starts=kv_starts,
             )
     else:
         attn = multi_head_attention(
@@ -303,22 +282,63 @@ def decoder_forward(
 
     def body(carry, xs):
         h = carry
-        if has_cache:
-            block = xs[0]
-            cache_kv = tuple(xs[1:])
-        else:
-            block = xs
-            cache_kv = None
-        h, new_cache = _block_forward(
-            block, cfg, h, cos, sin, kv_lengths, q_offset, cache_kv, use_pallas,
+        block = xs
+        h, _ = _block_forward(
+            block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
             kv_starts,
         )
-        if has_cache:
-            return h, new_cache
         return h, None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
+
+    if has_cache:
+        # The stacked cache rides the scan CARRY and is written via a tiny
+        # (layer, slot) dynamic-update-slice of just the new tokens. Riding
+        # xs/ys instead — the obvious formulation — makes the scan REWRITE the
+        # whole cache into a fresh stacked buffer every decode step (measured:
+        # 2 GiB defensive copies per step at B16, the decode memory ceiling).
+        start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
+
+        def body_cache(carry, xs):
+            h, cache_arrays = carry
+            block, i = xs
+            per_layer = tuple(
+                jax.lax.dynamic_index_in_dim(c, i, 0, keepdims=False)
+                for c in cache_arrays
+            )
+            h, token_kv = _block_forward(
+                block, cfg, h, cos, sin, kv_lengths, q_offset, per_layer,
+                use_pallas, kv_starts,
+            )
+            new_arrays = tuple(
+                jax.lax.dynamic_update_slice(
+                    c, u[None].astype(c.dtype),
+                    (i, start) + (0,) * (c.ndim - 2),
+                )
+                for c, u in zip(cache_arrays, token_kv)
+            )
+            return (h, new_arrays), None
+
+        (h, new_cache_arrays), _ = jax.lax.scan(
+            body_cache,
+            (inputs_embeds, tuple(cache)),
+            (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+        )
+        hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
+        out: Dict[str, Any] = {"hidden": hidden}
+        if compute_logits:
+            if cfg.tie_embeddings:
+                logits = jnp.dot(hidden, params["embed_tokens"]["embedding"].T)
+            else:
+                logits = linear(params["lm_head"], hidden)
+            out["logits"] = logits.astype(jnp.float32)
+        out["taps"] = None
+        out["cache"] = (
+            QuantKVCache(*new_cache_arrays) if quant_cache
+            else KVCache(*new_cache_arrays)
+        )
+        return out
 
     if num_taps > 0:
         # Tap layers SEGMENT the scan: each tapped block output is a segment
@@ -360,12 +380,8 @@ def decoder_forward(
         # (~1 GiB at B8xT1024x10 taps); the per-layer values are alive anyway as
         # segment-boundary carries.
         taps = tuple(by_layer[l] for l in tap_layers)
-        ys = None
     else:
-        xs = params["blocks"]
-        if has_cache:
-            xs = (params["blocks"],) + tuple(cache)
-        h, ys = jax.lax.scan(body, inputs_embeds, xs)
+        h, _ = jax.lax.scan(body, inputs_embeds, params["blocks"])
         taps = None
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
@@ -377,8 +393,6 @@ def decoder_forward(
             logits = linear(params["lm_head"], hidden)
         out["logits"] = logits.astype(jnp.float32)
     out["taps"] = taps if num_taps > 0 else None
-    if has_cache:
-        out["cache"] = QuantKVCache(*ys) if quant_cache else KVCache(*ys)
     return out
 
 

@@ -141,69 +141,80 @@ def multi_head_attention(
     )
 
 
-def mha_xla_headmajor(
+def mha_xla_cache(
     q: jax.Array,                          # (B, T, Nq, H)
-    k: jax.Array,                          # (B, Nkv, S, H) bf16/f32 or int8
-    v: jax.Array,                          # (B, Nkv, S, H)
-    k_scale: Optional[jax.Array] = None,   # (B, Nkv, S) f32 when k is int8
+    k: jax.Array,                          # (S, B, Nkv, H) bf16/f32 or int8
+    v: jax.Array,                          # (S, B, Nkv, H)
+    k_scale: Optional[jax.Array] = None,   # (S, B, Nkv) f32 when k is int8
     v_scale: Optional[jax.Array] = None,
     *,
-    causal: bool = True,
-    q_offset: "int | jax.Array" = 0,
-    kv_lengths: Optional[jax.Array] = None,
+    extra_k: jax.Array,                    # (B, T, Nkv, H) current chunk K
+    extra_v: jax.Array,                    # (B, T, Nkv, H) current chunk V
+    cache_len: "int | jax.Array",          # cache holds tokens [0, cache_len)
     kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Attention over a HEAD-MAJOR (B, Nkv, S, H) cache with no layout copies.
+    """Decode attention over the SLOT-MAJOR (S, B, Nkv, H) cache + the current
+    chunk as in-register extras. The cache is READ-ONLY here.
 
-    The decode cache is stored head-major (models/decoder.KVCache); transposing
-    it per step for `mha_xla` copies the whole cache (~100 MB/layer at 4B scale,
-    measured +25% decode step time). This variant einsums directly over the
-    stored layout, handles GQA by a grouped query reshape instead of
-    materializing repeated K/V, and folds the int8 per-vector scales into the
-    SCORES (q.(k*s) == (q.k)*s; p@(v*s) == (p*s)@v) so the quantized cache is
-    read once at stored width and never dequant-materialized.
+    Design notes (all measured on v5e):
+      * The slot-major layout is the one XLA's layout assignment wants for the
+        decode loop; handing it any other logical order relayout-copies the
+        whole cache every step (2 GiB-scale temps).
+      * The current chunk attends via `extra_k/extra_v` instead of being
+        written to the cache first — a write-then-read cache slice forces XLA
+        to materialize a fresh copy of the whole slice; the caller writes only
+        the tiny new-token slab into the cache AFTER attention.
+      * int8 per-vector scales fold into the SCORES (q.(k*s) == (q.k)*s and
+        p@(v*s) == (p*s)@v), so the quantized cache is read once at stored
+        width and never dequant-materialized.
+      * bf16 dot operands (f32 accumulate) on TPU: the MXU runs bf16 at full
+        rate and f32 upcasts of the cache would double its VMEM tiles. The CPU
+        backend lacks mixed bf16->f32 dots — f32 there.
+    GQA is a grouped query reshape; K/V are never repeated.
     """
     b, t, nq, h = q.shape
-    nkv, s = k.shape[1], k.shape[2]
+    s_len, nkv = k.shape[0], k.shape[2]
     g = nq // nkv
     if scale is None:
         scale = h ** -0.5
 
-    # bf16 dot operands (f32 accumulate) on TPU: the MXU runs bf16 at full
-    # rate, and a .astype(f32) of the cache would materialize full f32 copies
-    # per layer per step; the int8->bf16 convert fuses into the dot's operand
-    # load. The CPU backend lacks mixed bf16->f32 dots — keep f32 there.
     on_tpu = jax.devices()[0].platform == "tpu"
     dot_t = jnp.bfloat16 if on_tpu else jnp.float32
     qf = (q.astype(jnp.float32) * scale).reshape(b, t, nkv, g, h)
-    logits = jnp.einsum(
-        "btkgh,bksh->bkgts", qf.astype(dot_t), k.astype(dot_t),
+    qd = qf.astype(dot_t)
+
+    # cache scores: (B, Nkv, G, T, S)
+    logits_c = jnp.einsum(
+        "btkgh,sbkh->bkgts", qd, k.astype(dot_t),
         preferred_element_type=jnp.float32,
     )
     if k_scale is not None:
-        logits = logits * k_scale[:, :, None, None, :]
-
-    mask = None
-    if causal:
-        off = jnp.asarray(q_offset).reshape((-1, 1, 1))
-        q_pos = off + jnp.arange(t)[None, :, None]           # (B or 1, T, 1)
-        kv_pos = jnp.arange(s)[None, None, :]                # (1, 1, S)
-        mask = (q_pos >= kv_pos)[:, None, None, :, :]        # (B or 1,1,1,T,S)
-    if kv_lengths is not None:
-        valid = (jnp.arange(s)[None, :] < kv_lengths[:, None])[:, None, None, None, :]
-        mask = valid if mask is None else jnp.logical_and(mask, valid)
+        logits_c = logits_c * jnp.transpose(k_scale, (1, 2, 0))[:, :, None, None, :]
+    pos = jnp.arange(s_len)
+    valid = pos[None, :] < jnp.broadcast_to(jnp.asarray(cache_len), (b,))[:, None]
     if kv_starts is not None:
-        valid = (jnp.arange(s)[None, :] >= kv_starts[:, None])[:, None, None, None, :]
-        mask = valid if mask is None else jnp.logical_and(mask, valid)
-    if mask is not None:
-        logits = jnp.where(mask, logits, _NEG_INF)
+        valid = jnp.logical_and(valid, pos[None, :] >= kv_starts[:, None])
+    logits_c = jnp.where(valid[:, None, None, None, :], logits_c, _NEG_INF)
 
+    # current-chunk scores: (B, Nkv, G, T, T), causal among the chunk
+    logits_e = jnp.einsum(
+        "btkgh,bukh->bkgtu", qd, extra_k.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    )
+    tri = jnp.arange(t)[:, None] >= jnp.arange(t)[None, :]
+    logits_e = jnp.where(tri[None, None, None, :, :], logits_e, _NEG_INF)
+
+    logits = jnp.concatenate([logits_c, logits_e], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
+    pc, pe = probs[..., :s_len], probs[..., s_len:]
     if v_scale is not None:
-        probs = probs * v_scale[:, :, None, None, :]
+        pc = pc * jnp.transpose(v_scale, (1, 2, 0))[:, :, None, None, :]
     out = jnp.einsum(
-        "bkgts,bksh->btkgh", probs.astype(dot_t), v.astype(dot_t),
+        "bkgts,sbkh->btkgh", pc.astype(dot_t), v.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bkgtu,bukh->btkgh", pe.astype(dot_t), extra_v.astype(dot_t),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, nq, h).astype(q.dtype)

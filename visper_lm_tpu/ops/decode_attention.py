@@ -27,6 +27,14 @@ is the newest token so no causal triangle is needed.
 Reference parity surface: replaces the eager cache attention inside the
 reference's HF `generate` path (`ola_vlm` models decode through HF attention
 with a dynamic cache); there is no reference analogue of this kernel.
+
+STATUS: standalone op with interpret-mode parity tests, NOT wired into the
+decode path. Measured on v5e (B8, int8, S=1024) it lost to the XLA einsum
+pipeline (44.0 vs 39.1 ms/step; T=1 attention has no MXU shape and the
+kernel's cross-lane reductions serialize on the VPU), and the production
+decode now keeps the cache in the scan carry with in-register "extras" for
+the current token (ops/attention.mha_xla_cache) — the kernel is kept as the
+documented design-space seam for future Mosaic work.
 """
 
 from __future__ import annotations

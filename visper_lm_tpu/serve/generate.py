@@ -113,7 +113,10 @@ class Generator:
         self.max_len = -(-(prompt_len + n_chunks * chunk + 1) // 128) * 128
         self.cache_dtype = cache_dtype
         self._prefill = jax.jit(self._prefill_impl)
-        self._step = jax.jit(self._step_impl)
+        # DONATE the cache: without it XLA must preserve the input cache buffer,
+        # doubling cache HBM (2x3.8 GiB at B16 = the batch-16 OOM) and forcing a
+        # full cache copy every decode step instead of in-place token writes
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
 
     def _prefill_impl(self, params, batch):
         cfg = self.cfg
