@@ -251,6 +251,7 @@ def decoder_forward(
     remat: bool = False,
     use_pallas: Optional[bool] = None,
     compute_logits: bool = True,
+    unroll_layers: bool = False,
 ) -> Dict[str, Any]:
     """Run the decoder trunk.
 
@@ -320,11 +321,34 @@ def decoder_forward(
             )
             return (h, new_arrays), None
 
-        (h, new_cache_arrays), _ = jax.lax.scan(
-            body_cache,
-            (inputs_embeds, tuple(cache)),
-            (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
-        )
+        if unroll_layers:
+            # decode steps are tiny per-layer programs; unrolling lets XLA's
+            # scheduler overlap layer i+1's weight DMA with layer i's compute
+            # (the scan's per-iteration machinery serializes them), and the
+            # layer/cache slices become static views
+            h = inputs_embeds
+            arrays = tuple(cache)
+            for i in range(cfg.num_layers):
+                block = jax.tree_util.tree_map(lambda x: x[i], params["blocks"])
+                per_layer = tuple(c[i] for c in arrays)
+                h, token_kv = _block_forward(
+                    block, cfg, h, cos, sin, kv_lengths, q_offset, per_layer,
+                    use_pallas, kv_starts,
+                )
+                arrays = tuple(
+                    jax.lax.dynamic_update_slice(
+                        c, u[None].astype(c.dtype),
+                        (jnp.int32(i), start) + (0,) * (c.ndim - 2),
+                    )
+                    for c, u in zip(arrays, token_kv)
+                )
+            new_cache_arrays = arrays
+        else:
+            (h, new_cache_arrays), _ = jax.lax.scan(
+                body_cache,
+                (inputs_embeds, tuple(cache)),
+                (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+            )
         hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
         out: Dict[str, Any] = {"hidden": hidden}
         if compute_logits:
