@@ -79,3 +79,39 @@ def test_decode_attention_fully_masked_row_is_zero():
     )
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+
+
+@pytest.mark.parametrize("t,nq,nkv", [(1, 8, 8), (1, 8, 2), (4, 8, 2)])
+def test_mha_xla_cache_matches_full_attention(t, nq, nkv):
+    """Cache-slice + in-register-extras attention == one full causal attention.
+
+    Builds a full (B, L, Nkv, H) KV history, splits it into a slot-major cache
+    holding [0, cache_len) plus the current chunk as extras, and checks
+    mha_xla_cache against mha_xla over the whole history.
+    """
+    from visper_lm_tpu.ops.attention import mha_xla, mha_xla_cache
+
+    rng = np.random.default_rng(3)
+    B, H, S = 2, 32, 64
+    cache_len = 48                       # current chunk occupies [48, 48+t)
+    q = jnp.asarray(rng.normal(size=(B, t, nq, H)).astype(np.float32))
+    k_full = jnp.asarray(rng.normal(size=(B, cache_len + t, nkv, H)).astype(np.float32))
+    v_full = jnp.asarray(rng.normal(size=(B, cache_len + t, nkv, H)).astype(np.float32))
+    starts = jnp.asarray([0, 7], jnp.int32)
+
+    ref = mha_xla(
+        q, k_full, v_full, causal=True, q_offset=cache_len,
+        kv_lengths=jnp.full((B,), cache_len + t, jnp.int32), kv_starts=starts,
+    )
+
+    # slot-major cache (S, B, Nkv, H) padded to S slots, holding [0, cache_len)
+    ck = jnp.zeros((S, B, nkv, H), jnp.float32)
+    cv = jnp.zeros((S, B, nkv, H), jnp.float32)
+    ck = ck.at[:cache_len].set(jnp.swapaxes(k_full[:, :cache_len], 0, 1))
+    cv = cv.at[:cache_len].set(jnp.swapaxes(v_full[:, :cache_len], 0, 1))
+    got = mha_xla_cache(
+        q, ck, cv,
+        extra_k=k_full[:, cache_len:], extra_v=v_full[:, cache_len:],
+        cache_len=cache_len, kv_starts=starts,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
