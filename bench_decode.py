@@ -20,6 +20,7 @@ def main() -> None:
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--weight-quant", action="store_true", help="w8a16 decoder weights")
     args = p.parse_args()
 
     import jax
@@ -60,8 +61,11 @@ def main() -> None:
 
     gen = Generator(
         params, cfg,
-        GenerationConfig(max_new_tokens=new, kv_quant=args.kv_quant), B, prompt,
+        GenerationConfig(max_new_tokens=new, kv_quant=args.kv_quant,
+                         weight_quant=args.weight_quant), B, prompt,
     )
+    if args.weight_quant:
+        del params  # the Generator holds a quantized copy; free the bf16 decoder
     out = gen.generate(dict(batch))                      # compile both phases
     n_tok = sum(len(o) for o in out)
 
@@ -69,7 +73,7 @@ def main() -> None:
     # chunk loop (generate() interleaves host work, so time the jits directly)
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     t0 = time.perf_counter()
-    logits, cache = gen._prefill(params, jbatch)
+    logits, cache = gen._prefill(gen.params, jbatch)
     float(jnp.sum(logits))                               # host sync (relay-safe)
     prefill_s = time.perf_counter() - t0
 
@@ -78,11 +82,11 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     chunk = gen.gen_cfg.decode_chunk
     n_chunks = max(new // chunk, 1)
-    toks, cache = gen._step(params, cache, token, jnp.int32(0), offsets, key)  # warm
+    toks, cache = gen._step(gen.params, cache, token, jnp.int32(0), offsets, key)  # warm
     t0 = time.perf_counter()
     step = chunk
     for _ in range(n_chunks):
-        toks, cache = gen._step(params, cache, token, jnp.int32(step), offsets, key)
+        toks, cache = gen._step(gen.params, cache, token, jnp.int32(step), offsets, key)
         step += chunk
     float(jnp.sum(toks))                                 # host sync
     decode_s = time.perf_counter() - t0

@@ -134,3 +134,53 @@ def test_int8_kv_cache_matches_dense_decode(setup):
     a = quant.generate(dict(batch))
     b = quant.generate(dict(batch))
     assert a == b and all(len(x) == 8 for x in a)
+
+
+def test_w8a16_weight_quant_decode_close_to_bf16():
+    """Per-output-channel int8 decoder weights: greedy prefill logits stay close
+    to the full-precision path (w8a16 is a serving-only representation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.config import tiny_test_vlm
+    from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.serve.generate import (
+        GenerationConfig,
+        Generator,
+        left_pad_plans,
+    )
+
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    plans = [
+        build_splice_plan(
+            [1, 2, 3] + [IMAGE_TOKEN_INDEX] + list(rng.integers(3, 400, size=10 + b)),
+            None, 64,
+            num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens,
+            num_tasks=3,
+        )
+        for b in range(2)
+    ]
+    batch = left_pad_plans(plans, 64)
+    batch["images"] = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+
+    full = Generator(params, cfg, GenerationConfig(max_new_tokens=4), 2, 64,
+                     cache_dtype=jnp.float32)
+    quant = Generator(params, cfg,
+                      GenerationConfig(max_new_tokens=4, weight_quant=True), 2, 64,
+                      cache_dtype=jnp.float32)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    lf, _ = full._prefill(full.params, jb)
+    lq, _ = quant._prefill(quant.params, jb)
+    # int8 per-channel weights: logits agree to ~1% of the logit scale
+    denom = np.maximum(np.abs(np.asarray(lf)).max(), 1.0)
+    rel = np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom
+    assert rel < 0.05, rel
+    # and the argmax next token matches
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lq), -1), np.argmax(np.asarray(lf), -1)
+    )

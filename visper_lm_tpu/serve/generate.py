@@ -49,6 +49,10 @@ class GenerationConfig:
     # unlocking larger decode batches (dense bf16 cache + weights exceed HBM at
     # phi3 batch 8 on one 16 GB chip)
     kv_quant: bool = False
+    # w8a16 serving weights: per-output-channel int8 decoder kernels (exact
+    # scale folding; see utils/param.quantize_linear_weights). Halves decode
+    # weight streaming. The Generator quantizes its own copy at init.
+    weight_quant: bool = False
     # unroll the decode layer loop (static weight/cache slices, scheduler-
     # pipelined DMA). Measured on v5e at B8/S1024/int8: 19.23 ms/step vs 18.99
     # scanned — the scan is NOT the decode bottleneck (weight streaming is), so
@@ -117,6 +121,11 @@ class Generator:
         # masked; the extra slots cost only cache zeros)
         self.max_len = -(-(prompt_len + n_chunks * chunk + 1) // 128) * 128
         self.cache_dtype = cache_dtype
+        if gen_cfg.weight_quant:
+            from visper_lm_tpu.utils.param import quantize_linear_weights
+
+            self.params = dict(self.params)
+            self.params["decoder"] = quantize_linear_weights(self.params["decoder"])
         self._prefill = jax.jit(self._prefill_impl)
         # DONATE the cache: without it XLA must preserve the input cache buffer,
         # doubling cache HBM (2x3.8 GiB at B16 = the batch-16 OOM) and forcing a
@@ -158,7 +167,9 @@ class Generator:
         if cfg.decoder.tie_embeddings:
             next_logits = (last @ dp["embed_tokens"]["embedding"].T).astype(jnp.float32)
         else:
-            next_logits = (last @ dp["lm_head"]["kernel"]).astype(jnp.float32)
+            from visper_lm_tpu.utils.param import linear
+
+            next_logits = linear(dp["lm_head"], last).astype(jnp.float32)
         return next_logits, out["cache"]
 
     def _step_impl(self, params, cache, token, step, offsets, key):

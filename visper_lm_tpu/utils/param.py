@@ -48,10 +48,53 @@ def init_linear(
 
 
 def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
-    y = jnp.dot(x, p["kernel"], precision=precision)
+    if "kernel_q8" in p:
+        # w8a16 inference weights (serving): int8 kernel with a per-OUTPUT-
+        # channel f32 scale. int8 values are exact in bf16, and a per-column
+        # scale folds exactly into the matmul output — x @ (W_int * s_col)
+        # == (x @ W_int) * s_col — so this halves weight HBM streaming with no
+        # approximation beyond the quantization itself.
+        y = jnp.dot(x, p["kernel_q8"].astype(x.dtype), precision=precision)
+        y = y * p["out_scale"].astype(y.dtype)
+    else:
+        y = jnp.dot(x, p["kernel"], precision=precision)
     if "bias" in p:
         y = y + p["bias"]
     return y
+
+
+def quantize_linear_weights(params: Params) -> Params:
+    """Per-output-channel symmetric int8 quantization of every linear 'kernel'.
+
+    Returns a tree of the same structure with {kernel} -> {kernel_q8, out_scale}
+    (stacked leading dims preserved; reductions run over the second-to-last
+    axis, the input dim). Embedding tables and norm scales are untouched.
+    Intended for SERVING weight copies (models/decoder + serve/generate); the
+    bf16 originals remain the training representation.
+    """
+
+    def convert(p):
+        if not (isinstance(p, dict) and "kernel" in p):
+            return None
+        w = jnp.asarray(p["kernel"], jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        # (..., 1, dout) squeezed to (..., dout): broadcasts over (..., T, dout)
+        out = {"kernel_q8": q, "out_scale": jnp.squeeze(scale, -2)}
+        if "bias" in p:
+            out["bias"] = p["bias"]
+        return out
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            q = convert(tree)
+            if q is not None:
+                return q
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
 
 
 def init_layernorm(dim: int, dtype=jnp.float32) -> Params:
