@@ -73,15 +73,23 @@ def quantize_linear_weights(params: Params) -> Params:
     bf16 originals remain the training representation.
     """
 
+    @jax.jit
+    def _quant(w):
+        # under jit the f32 intermediates fuse away — computed eagerly, the
+        # f32 upcast of a (32, 3072, 8192) stacked kernel alone is 3 GiB and
+        # OOM'd the quantization pass at flagship scale
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        # (..., 1, dout) squeezed to (..., dout): broadcasts over (..., T, dout)
+        return q, jnp.squeeze(scale, -2)
+
     def convert(p):
         if not (isinstance(p, dict) and "kernel" in p):
             return None
-        w = jnp.asarray(p["kernel"], jnp.float32)
-        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-        scale = jnp.maximum(amax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-        # (..., 1, dout) squeezed to (..., dout): broadcasts over (..., T, dout)
-        out = {"kernel_q8": q, "out_scale": jnp.squeeze(scale, -2)}
+        q, scale = _quant(p["kernel"])
+        out = {"kernel_q8": q, "out_scale": scale}
         if "bias" in p:
             out["bias"] = p["bias"]
         return out
