@@ -109,9 +109,11 @@ def number_words_filter(resps: List[str], docs: Sequence[dict]) -> List[str]:
 
 
 def multi_choice_regex_filter(resps: List[str], docs: Sequence[dict]) -> List[str]:
-    """tasks/realworldqa/utils.py MultiChoiceRegexFilter semantics: parse the
-    question's 'A. choice' options; if the cleaned response contains a choice's
-    text, map it back to its letter; otherwise return the cleaned response."""
+    """tasks/realworldqa/utils.py MultiChoiceRegexFilter semantics (the filter the
+    RWQA yaml actually binds, realworldqa.yaml:22): parse the question's
+    'A. choice' options; if the cleaned response contains a choice's text, map it
+    back to its letter; otherwise return the cleaned response. The GENERIC
+    harness filter with the full fallback chain is MultiChoiceRegexFilter below."""
     choices_re = re.compile(r"\b([A-Z])\.\s+([^\n]*)")
     out = []
     for resp, doc in zip(resps, docs):
@@ -130,6 +132,101 @@ def multi_choice_regex_filter(resps: List[str], docs: Sequence[dict]) -> List[st
                 continue
         out.append(cleaned)
     return out
+
+
+class MultiChoiceRegexFilter:
+    """The generic lmms-eval multiple-choice extraction filter
+    (lmms-eval/lmms_eval/filters/extraction.py:73-170), full fallback chain:
+
+      1. findall the configured regex (e.g. ``(\\([A-Z]\\))``) and take
+         group_select (tuple matches keep the first non-empty group);
+      2. else: clean the response per ignore_case / ignore_punctuation /
+         regexes_to_ignore and search for each of ``doc['choices']``'s cleaned
+         text, mapping a hit back to its ``(letter)``;
+      3. else: search ``:[\\s]*(A|B|...)`` and parenthesize the letter;
+      4. else: the fallback string ('[invalid]').
+
+    Operates per-doc on a list of responses (flat List[str] here, one response
+    per doc, matching the harness evaluate() filter contract).
+    """
+
+    def __init__(
+        self,
+        regex_pattern: str = r"#### (\-?[0-9\.\,]+)",
+        group_select: int = 0,
+        fallback: str = "[invalid]",
+        ignore_case: bool = False,
+        ignore_punctuation: bool = False,
+        regexes_to_ignore=None,
+    ):
+        import sys as _sys
+        import unicodedata as _ud
+
+        self.regex = re.compile(regex_pattern)
+        self.group_select = group_select
+        self.fallback = fallback
+        self.ignore_case = ignore_case
+        self.ignore_punctuation = ignore_punctuation
+        self.regexes_to_ignore = regexes_to_ignore
+        self._punct_tbl = dict.fromkeys(
+            i for i in range(_sys.maxunicode)
+            if _ud.category(chr(i)).startswith("P")
+        )
+
+    def _filter_ignores(self, st: str) -> str:
+        if self.regexes_to_ignore is not None:
+            for s in self.regexes_to_ignore:
+                st = re.sub(s, "", st)
+        if self.ignore_case:
+            st = st.lower()
+        if self.ignore_punctuation:
+            st = st.translate(self._punct_tbl)
+        return st
+
+    def _find_match(self, regex, resp: str, convert_dict=None):
+        match = regex.findall(resp)
+        if match:
+            m = match[self.group_select]
+            if isinstance(m, tuple):
+                m = [x for x in m if x][0]
+            m = m.strip()
+            if m and convert_dict and m in convert_dict:
+                m = convert_dict[m]
+            return m
+        return None
+
+    def __call__(self, resps: List[str], docs: Sequence[dict]) -> List[str]:
+        out = []
+        for resp, doc in zip(resps, docs):
+            fallback_regexes = []
+            choice_to_alpha = {}
+            without_paren_regexes = []
+            without_paren_to_target = {}
+            next_alpha = "A"
+            for c in doc.get("choices", []):
+                m = self._filter_ignores(c.strip())
+                fallback_regexes.append(re.escape(m))
+                choice_to_alpha[m] = f"({next_alpha})"
+                without_paren_regexes.append(next_alpha)
+                without_paren_to_target[next_alpha] = f"({next_alpha})"
+                next_alpha = chr(ord(next_alpha) + 1)
+            fallback_regex = re.compile("|".join(fallback_regexes))
+            without_paren_regex = re.compile(
+                r":[\s]*(" + "|".join(without_paren_regexes) + ")"
+            )
+            match = self._find_match(self.regex, resp)
+            if not match:
+                match = self._find_match(
+                    fallback_regex, self._filter_ignores(resp), choice_to_alpha
+                )
+                if not match:
+                    match = self._find_match(
+                        without_paren_regex, resp, without_paren_to_target
+                    )
+            if not match:
+                match = self.fallback
+            out.append(match)
+        return out
 
 
 def realworldqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:

@@ -56,10 +56,14 @@ def conv2d(
 
 
 def conv_transpose2d(p: Params, x: jax.Array, stride: int) -> jax.Array:
-    """torch ConvTranspose2d(k=stride, s=stride, p=0) equivalent (NHWC)."""
+    """torch ConvTranspose2d(k=stride, s=stride, p=0) equivalent (NHWC).
+
+    torch's ConvTranspose2d is the conv ADJOINT (spatially flipped kernel);
+    jax.lax.conv_transpose correlates without flipping, so flip the kernel's
+    spatial axes here (parity-pinned against torch in test_ref_oracles)."""
     y = jax.lax.conv_transpose(
         x,
-        p["kernel"].astype(x.dtype),
+        p["kernel"][::-1, ::-1].astype(x.dtype),
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
