@@ -264,8 +264,14 @@ class VisperModel:
         *,
         max_new_tokens: int = 128,
         temperature: float = 0.0,
+        stream_callback: Optional[Any] = None,
     ) -> List[str]:
         """Batched VQA: build prompts, preprocess images, greedy/sampled decode.
+
+        stream_callback(text_delta) streams sample 0's decoded text
+        incrementally (the reference's TextIteratorStreamer surface,
+        demo.py:286-350); deltas arrive per decode chunk. The full strings are
+        still returned.
 
         anyres configs tile each image on its best grid (mm_utils.py:238-288),
         encode all tiles batched, and splice via host-computed gather indices
@@ -362,8 +368,36 @@ class VisperModel:
             eos_token_ids=tuple(eos_ids),
             stop_strings=tuple(self.stop_strings()),
         )
+        streamer = None
+        if stream_callback is not None:
+            # smaller device chunks -> lower first-token/update latency
+            gen_cfg = dataclasses.replace(gen_cfg, decode_chunk=4)
+            state = {"ids": [], "emitted": 0, "done": False}
+            eos_set = set(eos_ids)
+            stops = tuple(self.stop_strings())
+
+            def streamer(row, accepted):
+                if state["done"] or not accepted[0]:
+                    return
+                tok = int(row[0])
+                if tok in eos_set:
+                    state["done"] = True
+                    return
+                state["ids"].append(tok)
+                text = self.tokenizer.decode(
+                    state["ids"], skip_special_tokens=True
+                )
+                for s in stops:
+                    idx = text.find(s)
+                    if idx >= 0:
+                        text = text[:idx]
+                        state["done"] = True
+                if len(text) > state["emitted"]:
+                    stream_callback(text[state["emitted"]:])
+                    state["emitted"] = len(text)
+
         gen = Generator(self.params, self.cfg, gen_cfg, len(prompts), pad_to)
-        out = gen.generate(batch, tokenizer=self.tokenizer)
+        out = gen.generate(batch, tokenizer=self.tokenizer, streamer=streamer)
         if gen_cfg.stop_strings:
             return [t.strip() for t in out]
         return [

@@ -25,6 +25,8 @@ from visper_lm_tpu.models.genpipe.pipeline import (  # noqa: F401
     GenPipeConfig,
     SD21_UNCLIP,
     generate_from_embeds,
+    genpipe_config_from_dict,
+    genpipe_config_to_dict,
     import_genpipe,
     init_genpipe,
     tiny_genpipe_config,

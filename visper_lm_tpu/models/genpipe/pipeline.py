@@ -401,3 +401,30 @@ def import_genpipe(
         },
     }
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def genpipe_config_to_dict(cfg: GenPipeConfig) -> Dict:
+    """JSON-serializable config (the demo's teachers-dir bundle format)."""
+    return dataclasses.asdict(cfg)
+
+
+def genpipe_config_from_dict(d: Dict) -> GenPipeConfig:
+    """Inverse of genpipe_config_to_dict (json lists -> tuples)."""
+    from visper_lm_tpu.models.genpipe.schedulers import DPMConfig, NoiseAugConfig
+
+    def make(cls, sub):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in sub.items() if k in fields
+        })
+
+    return GenPipeConfig(
+        embed_dim=d.get("embed_dim", 1024),
+        text=make(CLIPTextConfig, d.get("text", {})),
+        unet=make(UNetConfig, d.get("unet", {})),
+        vae=make(VAEConfig, d.get("vae", {})),
+        dpm=make(DPMConfig, d.get("dpm", {})),
+        noise_aug=make(NoiseAugConfig, d.get("noise_aug", {})),
+        guidance_scale=d.get("guidance_scale", 10.0),
+    )

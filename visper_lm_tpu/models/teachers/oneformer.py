@@ -479,6 +479,33 @@ def _mlp_from_torch(sd, prefix: str, n_layers: int) -> Params:
     }
 
 
+def configs_from_hf(hf: Dict) -> Tuple[OneFormerDecoderConfig, SwinConfig]:
+    """Map an HF OneFormerConfig json dict (+ nested backbone_config) to our
+    (decoder, swin) config pair, so a teacher checkpoint dir is self-describing
+    for the demo/eval loaders (mirrors tests/test_oneformer.py's mapping)."""
+    bb = hf.get("backbone_config", {})
+    embed_dim = bb.get("embed_dim", 192)
+    dec = OneFormerDecoderConfig(
+        d_model=hf.get("conv_dim", 256),
+        encoder_layers=hf.get("encoder_layers", 6),
+        decoder_layers=hf.get("decoder_layers", 10),
+        encoder_ffn_dim=hf.get("encoder_feedforward_dim", 1024),
+        dim_feedforward=hf.get("dim_feedforward", 2048),
+        num_heads=hf.get("num_attention_heads", 8),
+        num_queries=hf.get("num_queries", 150),
+        num_classes=hf.get("num_labels", 133),
+        task_seq_len=hf.get("task_seq_len", 77),
+        backbone_dims=tuple(embed_dim * 2 ** i for i in range(4)),
+    )
+    swin = SwinConfig(
+        embed_dim=embed_dim,
+        depths=tuple(bb.get("depths", (2, 2, 18, 2))),
+        num_heads=tuple(bb.get("num_heads", (6, 12, 24, 48))),
+        window_size=bb.get("window_size", 12),
+    )
+    return dec, swin
+
+
 def import_oneformer_decoder(
     sd: Dict[str, np.ndarray], cfg: OneFormerDecoderConfig = ONEFORMER_COCO
 ) -> Params:

@@ -221,15 +221,21 @@ class Generator:
         finished = np.zeros((self.batch_size,), dtype=bool)
 
         def absorb(toks_np: np.ndarray) -> None:
-            """toks_np: (n, B) tokens to append, respecting finished/eos/limits."""
+            """toks_np: (n, B) tokens to append, respecting finished/eos/limits.
+
+            streamer(row, accepted) is called per row with accepted[i] = True
+            iff row[i] was actually appended to sample i's output (tokens past
+            eos/max_new_tokens are decoded on device but dropped here)."""
             for row in toks_np:
+                accepted = np.zeros((self.batch_size,), dtype=bool)
                 for i in range(self.batch_size):
                     if not finished[i] and len(outputs[i]) < gen_cfg.max_new_tokens:
                         outputs[i].append(int(row[i]))
+                        accepted[i] = True
                         if int(row[i]) in eos:
                             finished[i] = True
-                if streamer is not None:
-                    streamer(row, finished.copy())
+                if streamer is not None and accepted.any():
+                    streamer(row, accepted)
             if gen_cfg.stop_strings and tokenizer is not None:
                 for i in range(self.batch_size):
                     if not finished[i]:

@@ -191,3 +191,60 @@ def merge_params(a: Params, b: Params) -> Params:
     return jax.tree_util.tree_map(
         lambda x, y: y if x is None else x, a, b, is_leaf=lambda v: v is None
     )
+
+
+def save_params_npz(path: str, tree: Params) -> None:
+    """Persist a param tree as a flat .npz ('/'-joined key paths, list indices
+    as decimal segments). Portable teacher-weight bundles for the demo/eval
+    decoders (DPT / OneFormer / genpipe) without an Orbax checkpoint dir."""
+    import numpy as np
+
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: x is None
+    )[0]
+    for kp, leaf in leaves:
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        key = "/".join(parts)
+        if leaf is None:
+            # None leaves are structural (e.g. identity projections) — keep
+            # them so list indices and dict keys survive the round trip
+            flat[key + "#None"] = np.zeros((0,), np.int8)
+        else:
+            flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> Params:
+    """Inverse of save_params_npz: nested dicts; all-integer-keyed levels
+    become lists."""
+    import numpy as np
+
+    data = np.load(path)
+    root: dict = {}
+    for key in data.files:
+        value = data[key]
+        if key.endswith("#None"):
+            key, value = key[: -len("#None")], None
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        if out and all(k.isdigit() for k in out):
+            return [out[str(i)] for i in range(len(out))]
+        return out
+
+    return listify(root)
