@@ -1,0 +1,149 @@
+"""Serving-quantization guard: the measured TPU decode config (int8 KV +
+w8a16 weights) must be wired into the eval decode path and must not change
+greedy tokens on the tiny model (VERDICT r2 'next #4').
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from visper_lm_tpu.api import VisperModel
+from visper_lm_tpu.config import tiny_test_vlm
+from visper_lm_tpu.models.vlm import init_vlm
+
+from test_data_pipeline import FakeTokenizer
+
+
+class FakeTok(FakeTokenizer):
+    eos_token_id = 2
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(3), cfg)
+    return VisperModel(cfg=cfg, params=params, tokenizer=FakeTok(), context_len=256)
+
+
+def test_auto_policy_off_on_cpu(model):
+    kv, wq = model._resolve_quant(None, None)
+    assert kv is False and wq is False  # tests force the CPU backend
+    assert model._resolve_quant(True, None)[0] is True
+    assert model._resolve_quant(None, True)[1] is True
+
+
+def test_quantized_prefill_logits_close(model):
+    """w8a16 weights perturb the prefill logits by far less than typical
+    greedy margins on trained models (the numerics bound behind the policy)."""
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.data.mm_utils import tokenizer_image_token
+    from visper_lm_tpu.serve.generate import GenerationConfig, left_pad_plans
+
+    prompt = model.build_prompt("what is shown?")
+    ids = tokenizer_image_token(prompt, model.tokenizer)
+    d = model.cfg.distill
+    plan = build_splice_plan(
+        ids, None, 128, num_image_tokens=model.cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=len(d.task_order()),
+    )
+    batch = left_pad_plans([plan], 128)
+    batch["images"] = np.asarray(
+        np.random.default_rng(0).normal(size=(1, 28, 28, 3)), np.float32
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    base = GenerationConfig(max_new_tokens=4)
+    gen_d = model._generator(base, 1, 128)
+    import dataclasses as dc
+
+    gen_q = model._generator(
+        dc.replace(base, kv_quant=True, weight_quant=True), 1, 128
+    )
+    logits_d, _ = gen_d._prefill(gen_d.params, batch)
+    logits_q, _ = gen_q._prefill(gen_q.params, batch)
+    ld, lq = np.asarray(logits_d), np.asarray(logits_q)
+    scale = np.abs(ld).max()
+    assert np.abs(ld - lq).max() < 0.02 * scale
+
+
+def test_quantized_decode_logits_track_bf16_stepwise(model):
+    """Teacher-forced decode: feed the DENSE greedy tokens through both the
+    dense and the int8-KV + w8a16 paths and bound the per-step logit drift.
+    (Token-sequence equality is ill-posed on a random tiny model — one
+    near-tie flip diverges the whole continuation — but a per-step logit
+    bound implies token equality whenever greedy margins exceed it, which is
+    the regime of trained checkpoints.)"""
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.models import decoder as dec
+
+    cfg = model.cfg.decoder
+    dp_dense = model.params["decoder"]
+    dp_quant = model._quantized_params()["decoder"]
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(4, cfg.vocab_size, size=(1, 9)).astype(np.int32)
+    t = prompt.shape[1]
+    embeds = dec.embed_tokens(dp_dense, jnp.asarray(prompt))
+
+    cache_d = dec.init_kv_cache(cfg, 1, 128)
+    cache_q = dec.init_quant_kv_cache(cfg, 1, 128)
+    kv = jnp.asarray([t], jnp.int32)
+    out_d = dec.decoder_forward(dp_dense, cfg, embeds, kv_lengths=kv,
+                                cache=cache_d, q_offset=0)
+    out_q = dec.decoder_forward(dp_quant, cfg, embeds, kv_lengths=kv,
+                                cache=cache_q, q_offset=0)
+    cache_d, cache_q = out_d["cache"], out_q["cache"]
+    logits_d = np.asarray(out_d["logits"][:, -1])
+    logits_q = np.asarray(out_q["logits"][:, -1])
+
+    for step in range(8):
+        scale = np.abs(logits_d).max()
+        assert np.abs(logits_d - logits_q).max() < 0.03 * scale, step
+        token = jnp.argmax(jnp.asarray(logits_d), axis=-1)  # teacher: dense
+        emb = dec.embed_tokens(dp_dense, token[:, None])
+        slot = t + step
+        kv = jnp.asarray([slot + 1], jnp.int32)
+        out_d = dec.decoder_forward(dp_dense, cfg, emb, kv_lengths=kv,
+                                    cache=cache_d, q_offset=slot,
+                                    positions=jnp.asarray([[slot]]))
+        out_q = dec.decoder_forward(dp_quant, cfg, emb, kv_lengths=kv,
+                                    cache=cache_q, q_offset=slot,
+                                    positions=jnp.asarray([[slot]]))
+        cache_d, cache_q = out_d["cache"], out_q["cache"]
+        logits_d = np.asarray(out_d["logits"][:, 0])
+        logits_q = np.asarray(out_q["logits"][:, 0])
+
+
+def test_generator_cache_reuses_compiled_decoder():
+    """Same shapes + config -> the SAME Generator (no re-trace/re-quantize);
+    different config -> a different one."""
+    cfg = tiny_test_vlm(distill=True)
+    fresh = VisperModel(
+        cfg=cfg, params=init_vlm(jax.random.PRNGKey(4), cfg),
+        tokenizer=FakeTok(), context_len=256,
+    )
+    img = Image.new("RGB", (40, 40), (1, 2, 3))
+    fresh.chat(["one?"], [img], max_new_tokens=4)
+    fresh.chat(["two?"], [img], max_new_tokens=4)
+    assert len(fresh._gen_cache) == 1
+    fresh.chat(["three?"], [img], max_new_tokens=4, kv_quant=True)
+    assert len(fresh._gen_cache) == 2
+
+
+def test_weight_quant_params_shared_across_buckets(model):
+    """The w8a16 copy is quantized once and shared by all Generators."""
+    img = Image.new("RGB", (40, 40), (9, 9, 9))
+    model.chat(["a?"], [img], max_new_tokens=4, weight_quant=True)
+    first = model._serving_params
+    assert first is not None
+    model.chat(["a much longer question to force another pad bucket " * 8],
+               [img], max_new_tokens=4, weight_quant=True)
+    assert model._serving_params is first
+    dec = first["decoder"]
+    flat = jax.tree_util.tree_leaves(dec)
+    assert any(a.dtype == np.int8 for a in flat)

@@ -180,6 +180,49 @@ class VisperModel:
     context_len: int = 4096
     # anyres grid (reference image_grid_pinpoints, train.py:1040)
     grid_pinpoints: Any = "[[336,672],[672,336],[672,672],[1008,336],[336,1008]]"
+    # Serving quantization policy: None = auto (ON on TPU — the bench-measured
+    # 801 tok/s config: int8 KV cache + w8a16 decoder weights — OFF elsewhere).
+    # Greedy-token parity with bf16 on the tiny model is guarded by
+    # tests/test_serving_quant.py; per-call override via chat(kv_quant=...).
+    kv_quant: Optional[bool] = None
+    weight_quant: Optional[bool] = None
+    _gen_cache: Dict[Any, Any] = dataclasses.field(
+        default_factory=dict, repr=False
+    )
+    _serving_params: Any = dataclasses.field(default=None, repr=False)
+
+    def _resolve_quant(self, kv, wq):
+        auto = jax.default_backend() == "tpu"
+        kv = self.kv_quant if kv is None else kv
+        wq = self.weight_quant if wq is None else wq
+        return (auto if kv is None else bool(kv)), (auto if wq is None else bool(wq))
+
+    def _quantized_params(self):
+        """w8a16 serving copy of the decoder weights, quantized once and reused
+        across Generators (shape buckets) instead of per chat() call."""
+        if self._serving_params is None:
+            from visper_lm_tpu.utils.param import quantize_linear_weights
+
+            p = dict(self.params)
+            p["decoder"] = quantize_linear_weights(p["decoder"])
+            self._serving_params = p
+        return self._serving_params
+
+    def _generator(self, gen_cfg: GenerationConfig, batch_size: int, pad_to: int):
+        """Generators are cached by (shapes, config): a fresh Generator per
+        call would re-trace the jitted prefill/step and re-quantize weights."""
+        key = (batch_size, pad_to, dataclasses.astuple(gen_cfg))
+        gen = self._gen_cache.get(key)
+        if gen is None:
+            params = self.params
+            if gen_cfg.weight_quant:
+                params = self._quantized_params()
+                # params already carry kernel_q8; linear() auto-detects, so the
+                # Generator must not quantize again
+                gen_cfg = dataclasses.replace(gen_cfg, weight_quant=False)
+            gen = Generator(params, self.cfg, gen_cfg, batch_size, pad_to)
+            self._gen_cache[key] = gen
+        return gen
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -265,6 +308,8 @@ class VisperModel:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         stream_callback: Optional[Any] = None,
+        kv_quant: Optional[bool] = None,
+        weight_quant: Optional[bool] = None,
     ) -> List[str]:
         """Batched VQA: build prompts, preprocess images, greedy/sampled decode.
 
@@ -362,11 +407,14 @@ class VisperModel:
         if getattr(self.tokenizer, "eos_token_id", None) is not None:
             eos_ids.append(self.tokenizer.eos_token_id)
 
+        kvq, wq = self._resolve_quant(kv_quant, weight_quant)
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             eos_token_ids=tuple(eos_ids),
             stop_strings=tuple(self.stop_strings()),
+            kv_quant=kvq,
+            weight_quant=wq,
         )
         streamer = None
         if stream_callback is not None:
@@ -396,7 +444,7 @@ class VisperModel:
                     stream_callback(text[state["emitted"]:])
                     state["emitted"] = len(text)
 
-        gen = Generator(self.params, self.cfg, gen_cfg, len(prompts), pad_to)
+        gen = self._generator(gen_cfg, len(prompts), pad_to)
         out = gen.generate(batch, tokenizer=self.tokenizer, streamer=streamer)
         if gen_cfg.stop_strings:
             return [t.strip() for t in out]

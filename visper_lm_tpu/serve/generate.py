@@ -284,8 +284,18 @@ def greedy_decode_text(
     max_new_tokens: int = 128,
     stop_strings: Sequence[str] = (),
     eos_token_ids: Sequence[int] = (),
+    kv_quant: Optional[bool] = None,
+    weight_quant: Optional[bool] = None,
 ) -> List[str]:
-    """Convenience wrapper: plans+images -> decoded strings."""
+    """Convenience wrapper: plans+images -> decoded strings.
+
+    kv_quant/weight_quant default to the measured serving config on TPU
+    (int8 KV + w8a16 weights, the bench_decode numbers) and bf16 elsewhere —
+    same policy as api.VisperModel."""
+    if kv_quant is None:
+        kv_quant = jax.default_backend() == "tpu"
+    if weight_quant is None:
+        weight_quant = jax.default_backend() == "tpu"
     longest = max(p.seq_length for p in plans)
     pad_to = -(-longest // 128) * 128
     batch = left_pad_plans(plans, pad_to)
@@ -294,6 +304,8 @@ def greedy_decode_text(
         max_new_tokens=max_new_tokens,
         eos_token_ids=tuple(eos_token_ids),
         stop_strings=tuple(stop_strings),
+        kv_quant=bool(kv_quant),
+        weight_quant=bool(weight_quant),
     )
     gen = Generator(params, cfg, gen_cfg, len(plans), pad_to)
     out = gen.generate(batch, tokenizer=tokenizer)
