@@ -103,9 +103,11 @@ def make_dpm_tables(cfg: DPMConfig, num_inference_steps: int) -> DPMTables:
     )
     alpha = np.sqrt(acp[timesteps])                      # (S,)
     sigma = np.sqrt(1.0 - acp[timesteps])
-    # final boundary (t=0): alpha->1, sigma->0; clamp to avoid log(0)
-    alpha = np.concatenate([alpha, [1.0]])
-    sigma = np.concatenate([sigma, [1e-6]])
+    # final boundary: diffusers appends sigma at TRAIN timestep 0 (not 0.0 —
+    # set_timesteps' `sigma_last = ((1-acp[0])/acp[0])**0.5`), so the last
+    # update lands on the t=0 marginal, alpha=sqrt(acp[0]), sigma=sqrt(1-acp[0])
+    alpha = np.concatenate([alpha, [np.sqrt(acp[0])]])
+    sigma = np.concatenate([sigma, [np.sqrt(1.0 - acp[0])]])
     lam = np.log(alpha) - np.log(sigma)
     return DPMTables(
         timesteps=timesteps.astype(np.int32),
@@ -151,7 +153,11 @@ def make_dpm_step_coeffs(tables: DPMTables) -> dict:
         h = lam[i + 1] - lam[i]
         sigma_ratio[i] = sigma[i + 1] / sigma[i]
         alpha_coef[i] = -alpha[i + 1] * np.expm1(-h)
-        if i == 0 or i == S - 1:  # first step has no history; last is lower-order
+        # diffusers lower_order_final drops to 1st order at the LAST step only
+        # for short schedules (< 15 steps); the shipped 25-step pipe stays 2nd
+        # order throughout (DPMSolverMultistepScheduler.step's
+        # `lower_order_final = ... and len(timesteps) < 15`).
+        if i == 0 or (i == S - 1 and S < 15):
             r_weight[i] = 0.0
         else:
             h_prev = lam[i] - lam[i - 1]

@@ -96,6 +96,66 @@ def mha_xla(
     return out.astype(q.dtype)
 
 
+def _ambient_mesh():
+    """The mesh installed by `with mesh:` (None outside one)."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        if m is not None and not m.empty:
+            return m
+    except Exception:
+        return None
+    return None
+
+
+def _shard_mapped_flash(mesh, q, k, v, *, causal, kv_lengths, kv_starts, scale):
+    """flash_attention wrapped in shard_map for a ('data','model') mesh.
+
+    Returns None when the mesh axes don't divide batch/heads (caller falls
+    back to the XLA path, which GSPMD partitions automatically)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from visper_lm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = axis_sizes.get(DATA_AXIS, 1)
+    tp = axis_sizes.get(MODEL_AXIS, 1)
+    b, _, nq, _ = q.shape
+    nkv = k.shape[2]
+    if b % dp or nq % tp or nkv % tp:
+        return None
+
+    from visper_lm_tpu.ops.flash_attention import flash_attention
+
+    if kv_lengths is None:
+        kv_lengths = jnp.full((b,), k.shape[1], jnp.int32)
+    if kv_starts is None:
+        kv_starts = jnp.zeros((b,), jnp.int32)
+
+    qspec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    bspec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        functools.partial(_flash_positional, causal=causal, scale=scale),
+        mesh=mesh,
+        in_specs=(qspec, qspec, qspec, bspec, bspec),
+        out_specs=qspec,
+        check_vma=False,
+    )
+    return fn(q, k, v, kv_lengths, kv_starts)
+
+
+def _flash_positional(q, k, v, kv_lengths, kv_starts, *, causal, scale):
+    from visper_lm_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(
+        q, k, v, causal=causal, kv_lengths=kv_lengths, kv_starts=kv_starts,
+        scale=scale,
+    )
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -131,10 +191,25 @@ def multi_head_attention(
     if pallas_ok:
         from visper_lm_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(
-            q, k, v, causal=causal, kv_lengths=kv_lengths, kv_starts=kv_starts,
-            scale=scale,
-        )
+        mesh = _ambient_mesh()
+        if mesh is not None and mesh.size > 1:
+            # Mosaic kernels cannot be auto-partitioned by GSPMD; under a
+            # multi-chip mesh the kernel must be wrapped in shard_map over the
+            # canonical layout (batch on 'data', heads on 'model'). Attention
+            # is independent per (batch, head) with the full sequence local,
+            # so fwd AND the custom-vjp bwd partition exactly.
+            sharded = _shard_mapped_flash(
+                mesh, q, k, v, causal=causal, kv_lengths=kv_lengths,
+                kv_starts=kv_starts, scale=scale,
+            )
+            if sharded is not None:
+                return sharded
+            # fall through to XLA when the mesh doesn't divide batch/heads
+        else:
+            return flash_attention(
+                q, k, v, causal=causal, kv_lengths=kv_lengths,
+                kv_starts=kv_starts, scale=scale,
+            )
     return mha_xla(
         q, k, v, causal=causal, q_offset=q_offset, kv_lengths=kv_lengths,
         kv_starts=kv_starts, scale=scale,

@@ -77,6 +77,13 @@ def zero_pspec(spec: P, shape: Tuple[int, ...], data_size: int, min_size: int = 
     if int(np.prod(shape)) < min_size or data_size <= 1:
         return spec
     entries = list(spec) + [None] * (len(shape) - len(spec))
+    if any(
+        e == DATA_AXIS or (isinstance(e, tuple) and DATA_AXIS in e)
+        for e in entries
+    ):
+        # already ZeRO-sharded (e.g. an optimizer moment inheriting a zero3
+        # param spec) — a second 'data' entry is illegal and redundant
+        return spec
     best_axis, best_dim = None, 0
     for i, (s, d) in enumerate(zip(entries, shape)):
         if s is None and d % data_size == 0 and d > best_dim:

@@ -127,47 +127,28 @@ def make_loss_fn(
     return loss_fn
 
 
-def make_train_step(
+def plan_train_shardings(
     cfg: VLMConfig,
     opt_cfg: OptimizerConfig,
     params: Any,
     mesh: Mesh,
     *,
-    teacher_fn=None,
-    teacher_params=None,
-    remat: bool = True,
-    use_pallas: Optional[bool] = None,
     zero_params: bool = False,
     zero_min_size: int = 2 ** 16,
     offload_opt_state: bool = False,
-) -> Tuple[Callable, TrainState, Any]:
-    """Build (jitted_step, initial sharded TrainState, state shardings).
-
-    Only STAGE-TRAINABLE params live in the TrainState; frozen params (teachers,
-    frozen trunk in PT/probe stages) are a separate jit input that never gets grads,
-    optimizer state, or donated buffers — the memory shape the reference gets from
-    requires_grad_(False) under ZeRO. The returned step signature is
-    step(state, frozen_params, batch) -> (state, metrics); state is donated.
-    """
+    force_offload: bool = False,
+):
+    """Sharding plan for the train state. `params` may be real arrays OR
+    ShapeDtypeStructs (the AOT compile-only path, train/aot.py) — only .shape
+    is inspected. Returns (mask, tx, opt_shape, train/frozen/opt/state
+    shardings)."""
     from visper_lm_tpu.train.optimizer import trainable_mask
-    from visper_lm_tpu.utils.param import merge_params, partition_params
+    from visper_lm_tpu.utils.param import partition_params
 
     mask = trainable_mask(params, opt_cfg.stage)
     trainable, frozen = partition_params(params, mask)
-
     tx = make_optimizer(trainable, opt_cfg)
-    base_loss_fn = make_loss_fn(
-        cfg,
-        teacher_fn=teacher_fn,
-        remat=remat,
-        use_pallas=use_pallas,
-    )
 
-    def loss_fn(trainable_params, frozen_params, tp, batch):
-        full = merge_params(trainable_params, frozen_params)
-        return base_loss_fn(full, batch, tp)
-
-    # --- shardings ---
     all_specs = shd.param_pspecs(params)
     train_specs, frozen_specs = partition_params(all_specs, mask)
     if zero_params:
@@ -192,8 +173,10 @@ def make_train_step(
         # zero3_offload.json-equivalent seam: persist optimizer moments in host
         # memory; XLA stages them to HBM around the update. TPU-only memory kind —
         # fall back (with the flag ignored) where unsupported, e.g. CPU tests.
+        # force_offload skips the device probe (AOT topologies have no devices).
         try:
-            mesh.devices.flat[0].memory("pinned_host")  # raises where unsupported
+            if not force_offload:
+                mesh.devices.flat[0].memory("pinned_host")  # raises if unsupported
             opt_shardings = jax.tree_util.tree_map(
                 lambda ns: ns.with_memory_kind("pinned_host"), opt_shardings
             )
@@ -205,6 +188,55 @@ def make_train_step(
         opt_state=opt_shardings,
         step=NamedSharding(mesh, P()),
     )
+    return (
+        mask, tx, trainable, frozen, opt_shape,
+        train_shardings, frozen_shardings, opt_shardings, state_shardings,
+    )
+
+
+def make_train_step(
+    cfg: VLMConfig,
+    opt_cfg: OptimizerConfig,
+    params: Any,
+    mesh: Mesh,
+    *,
+    teacher_fn=None,
+    teacher_params=None,
+    remat: bool = True,
+    use_pallas: Optional[bool] = None,
+    zero_params: bool = False,
+    zero_min_size: int = 2 ** 16,
+    offload_opt_state: bool = False,
+) -> Tuple[Callable, TrainState, Any]:
+    """Build (jitted_step, initial sharded TrainState, state shardings).
+
+    Only STAGE-TRAINABLE params live in the TrainState; frozen params (teachers,
+    frozen trunk in PT/probe stages) are a separate jit input that never gets grads,
+    optimizer state, or donated buffers — the memory shape the reference gets from
+    requires_grad_(False) under ZeRO. The returned step signature is
+    step(state, frozen_params, batch) -> (state, metrics); state is donated.
+    """
+    from visper_lm_tpu.utils.param import merge_params
+
+    (
+        mask, tx, trainable, frozen, opt_shape,
+        train_shardings, frozen_shardings, opt_shardings, state_shardings,
+    ) = plan_train_shardings(
+        cfg, opt_cfg, params, mesh,
+        zero_params=zero_params, zero_min_size=zero_min_size,
+        offload_opt_state=offload_opt_state,
+    )
+
+    base_loss_fn = make_loss_fn(
+        cfg,
+        teacher_fn=teacher_fn,
+        remat=remat,
+        use_pallas=use_pallas,
+    )
+
+    def loss_fn(trainable_params, frozen_params, tp, batch):
+        full = merge_params(trainable_params, frozen_params)
+        return base_loss_fn(full, batch, tp)
 
     trainable = jax.device_put(trainable, train_shardings)
     # device_put aliases arrays that are already correctly placed; copy so the
@@ -219,13 +251,28 @@ def make_train_step(
         step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
     )
 
+    # pinned-host offloaded moments must be staged to device memory inside the
+    # step before tx.update touches them (XLA memories forbids mixed-space
+    # math); out_shardings moves the updated moments back to host.
+    opt_to_device = None
+    if any(
+        getattr(ns, "memory_kind", None) == "pinned_host"
+        for ns in jax.tree_util.tree_leaves(opt_shardings)
+    ):
+        opt_to_device = jax.tree_util.tree_map(
+            lambda ns: ns.with_memory_kind("device"), opt_shardings
+        )
+
     # teacher params are explicit jit args (NOT closures): closed-over arrays can be
     # inlined into the serialized HLO, which explodes compile payloads/times.
     def step_fn(state: TrainState, frozen_params, tp, batch: Dict[str, jax.Array]):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen_params, tp, batch
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        opt_state = state.opt_state
+        if opt_to_device is not None:
+            opt_state = jax.device_put(opt_state, opt_to_device)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
