@@ -139,6 +139,7 @@ def measure(args, batch_size: int):
     with mesh:
         step_fn, state, _ = make_train_step(
             cfg, opt_cfg, params, mesh, use_pallas=on_tpu,
+            remat_policy=args.remat_policy,
             teacher_fn=teacher_fn, teacher_params=teacher_params,
         )
         dbatch = shard_batch(batch, mesh)
@@ -185,6 +186,9 @@ def main():
                         help="comma-separated batch sizes; reports the best")
     parser.add_argument("--no-teachers", action="store_true",
                         help="precomputed random targets instead of in-jit teachers")
+    parser.add_argument("--remat-policy", default=None,
+                        help="'save_flash' keeps flash-attention outputs across "
+                        "the backward (skips their recompute; costs HBM)")
     args = parser.parse_args()
 
     if args.smoke:

@@ -19,7 +19,7 @@ def test_abstract_lowering_compiles_and_reports_memory():
     cfg = tiny_test_vlm(distill=True)
     devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
-    lowered = lower_flagship_step(
+    lowered, breakdown = lower_flagship_step(
         cfg, mesh, batch_size=8, seq_len=64,
         with_teachers=False, zero_params=True, use_pallas=False,
     )
@@ -36,7 +36,7 @@ def test_abstract_lowering_zero3_shards_big_params():
     cfg = tiny_test_vlm(distill=True)
     devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
-    lowered = lower_flagship_step(
+    lowered, breakdown = lower_flagship_step(
         cfg, mesh, batch_size=8, seq_len=64,
         with_teachers=False, zero_params=True, use_pallas=False,
     )

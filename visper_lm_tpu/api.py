@@ -195,18 +195,33 @@ class VisperModel:
         auto = jax.default_backend() == "tpu"
         kv = self.kv_quant if kv is None else kv
         wq = self.weight_quant if wq is None else wq
-        return (auto if kv is None else bool(kv)), (auto if wq is None else bool(wq))
+        kv = auto if kv is None else bool(kv)
+        # weight_quant may be the string "int4" (w4a16 opt-in); keep it intact
+        if wq is None:
+            wq = auto
+        elif not isinstance(wq, str):
+            wq = bool(wq)
+        return kv, wq
 
-    def _quantized_params(self):
-        """w8a16 serving copy of the decoder weights, quantized once and reused
-        across Generators (shape buckets) instead of per chat() call."""
-        if self._serving_params is None:
-            from visper_lm_tpu.utils.param import quantize_linear_weights
+    def _quantized_params(self, mode="int8"):
+        """Serving copy of the decoder weights (w8a16 or w4a16), quantized once
+        per mode and reused across Generators (shape buckets)."""
+        if not isinstance(self._serving_params, dict):
+            self._serving_params = {}
+        if mode not in self._serving_params:
+            from visper_lm_tpu.utils.param import (
+                quantize_linear_weights,
+                quantize_linear_weights_int4,
+            )
 
+            quantize = (
+                quantize_linear_weights_int4 if mode == "int4"
+                else quantize_linear_weights
+            )
             p = dict(self.params)
-            p["decoder"] = quantize_linear_weights(p["decoder"])
-            self._serving_params = p
-        return self._serving_params
+            p["decoder"] = quantize(p["decoder"])
+            self._serving_params[mode] = p
+        return self._serving_params[mode]
 
     def _generator(self, gen_cfg: GenerationConfig, batch_size: int, pad_to: int):
         """Generators are cached by (shapes, config): a fresh Generator per
@@ -216,7 +231,9 @@ class VisperModel:
         if gen is None:
             params = self.params
             if gen_cfg.weight_quant:
-                params = self._quantized_params()
+                params = self._quantized_params(
+                    "int4" if gen_cfg.weight_quant == "int4" else "int8"
+                )
                 # params already carry kernel_q8; linear() auto-detects, so the
                 # Generator must not quantize again
                 gen_cfg = dataclasses.replace(gen_cfg, weight_quant=False)

@@ -237,6 +237,18 @@ def _block_forward(
     return h, new_cache
 
 
+def _remat_policy(name: Optional[str]):
+    """Checkpoint policy by name. 'save_flash' saves the named flash-attention
+    outputs across the scan (ops/attention tags them 'flash_out'), skipping
+    the flash forward recompute in backward at the cost of one (B, T, N, H)
+    residual per layer."""
+    if name is None or name == "none":
+        return None
+    if name == "save_flash":
+        return jax.checkpoint_policies.save_only_these_names("flash_out")
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 def decoder_forward(
     params: Params,
     cfg: DecoderConfig,
@@ -249,6 +261,7 @@ def decoder_forward(
     cache: Optional[KVCache] = None,
     q_offset: int | jax.Array = 0,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     use_pallas: Optional[bool] = None,
     compute_logits: bool = True,
     unroll_layers: bool = False,
@@ -291,7 +304,9 @@ def decoder_forward(
         return h, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        body = jax.checkpoint(
+            body, prevent_cse=False, policy=_remat_policy(remat_policy)
+        )
 
     if has_cache:
         # The stacked cache rides the scan CARRY and is written via a tiny
@@ -384,7 +399,9 @@ def decoder_forward(
             return h, None
 
         if remat:
-            body_idx = jax.checkpoint(body_idx, prevent_cse=False)
+            body_idx = jax.checkpoint(
+                body_idx, prevent_cse=False, policy=_remat_policy(remat_policy)
+            )
 
         boundaries = sorted(set(tap_layers))
         by_layer = {}

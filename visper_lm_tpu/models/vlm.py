@@ -217,6 +217,7 @@ def vlm_forward(
     batch: Dict[str, jax.Array],
     *,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     use_pallas: Optional[bool] = None,
     tap: bool = True,
     compute_logits: bool = True,
@@ -249,6 +250,7 @@ def vlm_forward(
         kv_lengths=batch.get("seq_lengths"),
         tap_layers=taps,
         remat=remat,
+        remat_policy=remat_policy,
         use_pallas=use_pallas,
         compute_logits=compute_logits,
     )

@@ -93,7 +93,11 @@ def mha_xla(
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnts,bsnh->btnh", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # same name as the Pallas path so the save_flash remat policy applies
+    # backend-independently (CPU tests exercise the policy through here)
+    return checkpoint_name(out.astype(q.dtype), "flash_out")
 
 
 def _ambient_mesh():
@@ -203,13 +207,20 @@ def multi_head_attention(
                 kv_starts=kv_starts, scale=scale,
             )
             if sharded is not None:
-                return sharded
+                # named for the save_flash remat policy (models/decoder.py):
+                # saving the flash output skips its recompute in backward
+                from jax.ad_checkpoint import checkpoint_name
+
+                return checkpoint_name(sharded, "flash_out")
             # fall through to XLA when the mesh doesn't divide batch/heads
         else:
-            return flash_attention(
+            from jax.ad_checkpoint import checkpoint_name
+
+            out = flash_attention(
                 q, k, v, causal=causal, kv_lengths=kv_lengths,
                 kv_starts=kv_starts, scale=scale,
             )
+            return checkpoint_name(out, "flash_out")
     return mha_xla(
         q, k, v, causal=causal, q_offset=q_offset, kv_lengths=kv_lengths,
         kv_starts=kv_starts, scale=scale,

@@ -143,3 +143,20 @@ def batch_pspecs(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 def constrain(x: jax.Array, mesh: Mesh, spec: P) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def model_shard_pspec(shape: Tuple[int, ...], tp_size: int, min_size: int = 2 ** 16) -> P:
+    """Shard the largest tp-divisible dim over 'model' (frozen teacher weights:
+    read-only, all-gathered once per use; persistent HBM /= tp). Small tensors
+    replicate."""
+    if tp_size <= 1 or not shape or int(np.prod(shape)) < min_size:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % tp_size == 0 and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    entries = [None] * len(shape)
+    entries[best] = MODEL_AXIS
+    return P(*entries)

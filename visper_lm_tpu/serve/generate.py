@@ -49,10 +49,12 @@ class GenerationConfig:
     # unlocking larger decode batches (dense bf16 cache + weights exceed HBM at
     # phi3 batch 8 on one 16 GB chip)
     kv_quant: bool = False
-    # w8a16 serving weights: per-output-channel int8 decoder kernels (exact
-    # scale folding; see utils/param.quantize_linear_weights). Halves decode
-    # weight streaming. The Generator quantizes its own copy at init.
-    weight_quant: bool = False
+    # Serving weights: True/"int8" = w8a16 per-output-channel int8 decoder
+    # kernels (exact scale folding, token-parity-safe; halves decode weight
+    # streaming); "int4" = w4a16 group-wise int4 (quarter bandwidth, ~10% rms
+    # weight noise — opt-in quality tradeoff). The Generator quantizes its own
+    # copy at init.
+    weight_quant: object = False
     # unroll the decode layer loop (static weight/cache slices, scheduler-
     # pipelined DMA). Measured on v5e at B8/S1024/int8: 19.23 ms/step vs 18.99
     # scanned — the scan is NOT the decode bottleneck (weight streaming is), so
@@ -122,10 +124,18 @@ class Generator:
         self.max_len = -(-(prompt_len + n_chunks * chunk + 1) // 128) * 128
         self.cache_dtype = cache_dtype
         if gen_cfg.weight_quant:
-            from visper_lm_tpu.utils.param import quantize_linear_weights
+            from visper_lm_tpu.utils.param import (
+                quantize_linear_weights,
+                quantize_linear_weights_int4,
+            )
 
+            quantize = (
+                quantize_linear_weights_int4
+                if gen_cfg.weight_quant == "int4"
+                else quantize_linear_weights
+            )
             self.params = dict(self.params)
-            self.params["decoder"] = quantize_linear_weights(self.params["decoder"])
+            self.params["decoder"] = quantize(self.params["decoder"])
         self._prefill = jax.jit(self._prefill_impl)
         # DONATE the cache: without it XLA must preserve the input cache buffer,
         # doubling cache HBM (2x3.8 GiB at B16 = the batch-16 OOM) and forcing a

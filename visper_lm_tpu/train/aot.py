@@ -84,11 +84,13 @@ def lower_flagship_step(
     seq_len: int,
     with_teachers: bool = True,
     zero_params: bool = True,
+    zero_frozen: bool = False,
     offload_opt_state: bool = False,
     remat: bool = True,
     use_pallas: bool = True,
     mu_dtype: Optional[str] = None,
     learning_rate: float = 1e-3,
+    shard_teachers: bool = False,
 ):
     """Lower the full distill train step with abstract (never materialized)
     arguments. Returns the jax Lowered object."""
@@ -120,6 +122,7 @@ def lower_flagship_step(
     ) = plan_train_shardings(
         cfg, opt_cfg, params_shape, mesh,
         zero_params=zero_params,
+        zero_frozen=zero_frozen,
         offload_opt_state=offload_opt_state,
         force_offload=offload_opt_state,  # topology meshes have no live devices
     )
@@ -128,14 +131,27 @@ def lower_flagship_step(
     teacher_shapes = None
     if with_teachers:
         from visper_lm_tpu.models.teachers import init_teachers, make_teacher_fn
+        from visper_lm_tpu.parallel.mesh import MODEL_AXIS
 
         teacher_fn = make_teacher_fn(cfg)
         teacher_shapes = jax.eval_shape(
             functools.partial(init_teachers, jax.random.PRNGKey(7), cfg)
         )
-        replicated = NamedSharding(mesh, P())
+        from visper_lm_tpu.parallel.sharding import model_shard_pspec
+
+        tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+
+        def _teacher_sharding(s):
+            if shard_teachers:
+                return NamedSharding(
+                    mesh, model_shard_pspec(tuple(s.shape), tp_size)
+                )
+            return NamedSharding(mesh, P())
+
         teacher_shapes = jax.tree_util.tree_map(
-            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=replicated),
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=_teacher_sharding(s)
+            ),
             teacher_shapes,
         )
 
@@ -193,12 +209,41 @@ def lower_flagship_step(
     )
 
     jitted = jax.jit(step_fn, donate_argnums=(0,), out_shardings=(state_sh, None))
+    breakdown = {
+        "params_gib_per_chip": _tree_gib_per_chip(state_abstract.params, mesh),
+        "opt_state_gib_per_chip": _tree_gib_per_chip(state_abstract.opt_state, mesh),
+        "frozen_gib_per_chip": _tree_gib_per_chip(frozen_abstract, mesh),
+        "teachers_gib_per_chip": _tree_gib_per_chip(teacher_shapes, mesh),
+        "batch_gib_per_chip": _tree_gib_per_chip(batch_abstract, mesh),
+    }
     # the mesh context makes the ambient mesh visible to the flash-attention
     # shard_map dispatch (ops/attention._ambient_mesh)
     with mesh:
         return jitted.lower(
             state_abstract, frozen_abstract, teacher_shapes, batch_abstract
-        )
+        ), breakdown
+
+
+def _tree_gib_per_chip(tree, mesh) -> float:
+    """Per-chip GiB of a ShapeDtypeStruct tree given its NamedShardings."""
+    import jax
+
+    if tree is None:
+        return 0.0
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        n = float(np.prod(leaf.shape)) if leaf.shape else 1.0
+        shards = 1
+        sharding = getattr(leaf, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec is not None:
+            for entry in spec:
+                for ax in (entry if isinstance(entry, tuple) else (entry,)):
+                    if ax is not None:
+                        shards *= axis_sizes.get(ax, 1)
+        total += n * np.dtype(leaf.dtype).itemsize / shards
+    return round(total / 1024 ** 3, 3)
 
 
 def memory_report(compiled, n_devices: int) -> Dict[str, float]:
@@ -240,6 +285,10 @@ def main(argv=None) -> int:
     parser.add_argument("--offload-opt", action="store_true")
     parser.add_argument("--mu-dtype", default=None)
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--shard-teachers", action="store_true",
+                        help="shard frozen teacher weights over the model axis")
+    parser.add_argument("--zero-frozen", action="store_true",
+                        help="ZeRO-shard frozen params (frozen 8B decoder in PT)")
     parser.add_argument("--out", default=None, help="append one JSON line here")
     args = parser.parse_args(argv)
 
@@ -265,16 +314,19 @@ def main(argv=None) -> int:
     mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
     t0 = time.time()
-    lowered = lower_flagship_step(
+    lowered, breakdown = lower_flagship_step(
         cfg, mesh,
         batch_size=args.batch, seq_len=args.seq,
         with_teachers=not args.no_teachers,
         zero_params=not args.no_zero3,
+        zero_frozen=args.zero_frozen,
         offload_opt_state=args.offload_opt,
         mu_dtype=args.mu_dtype,
         use_pallas=not args.no_pallas,
+        shard_teachers=args.shard_teachers,
     )
     t_lower = time.time() - t0
+    print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)
     print(f"# lowered in {t_lower:.1f}s; compiling...", file=sys.stderr, flush=True)
     t0 = time.time()
     compiled = lowered.compile()
@@ -288,11 +340,14 @@ def main(argv=None) -> int:
         "seq": args.seq,
         "teachers_in_jit": not args.no_teachers,
         "zero3": not args.no_zero3,
+        "zero_frozen": args.zero_frozen,
         "offload_opt_state": args.offload_opt,
         "mu_dtype": args.mu_dtype or "float32",
+        "shard_teachers": args.shard_teachers,
         "lower_s": round(t_lower, 1),
         "compile_s": round(t_compile, 1),
     }
+    report.update(breakdown)
     report.update(memory_report(compiled, args.dp * args.tp))
     flops = compiled.cost_analysis()
     if flops and "flops" in flops:

@@ -90,6 +90,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ZeRO-3-equivalent full param sharding (zero3.json)")
     p.add_argument("--offload-opt-state", action="store_true",
                    help="optimizer moments in host memory (zero3_offload.json)")
+    p.add_argument("--zero-frozen", action="store_true",
+                   help="ZeRO-shard frozen params over data (8B PT fit lever)")
+    p.add_argument("--shard-teachers", action="store_true",
+                   help="shard frozen teacher weights over the model axis")
+    p.add_argument("--remat-policy", default=None,
+                   help="'save_flash' skips flash-attn backward recompute")
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 (multi-host; TPU pods autodetect)")
     p.add_argument("--num-processes", type=int, default=None)
@@ -318,6 +324,9 @@ def main() -> None:
         dp=args.dp,
         tp=args.tp,
         zero_params=args.zero_params,
+        zero_frozen=args.zero_frozen,
+        shard_teachers=args.shard_teachers,
+        remat_policy=args.remat_policy,
         offload_opt_state=args.offload_opt_state,
     )
     train(

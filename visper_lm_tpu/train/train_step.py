@@ -58,6 +58,7 @@ def make_loss_fn(
     *,
     teacher_fn: Optional[Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]] = None,
     remat: bool = True,
+    remat_policy: Optional[str] = None,
     use_pallas: Optional[bool] = None,
 ):
     """Loss over one (global) batch.
@@ -78,8 +79,8 @@ def make_loss_fn(
         b, t = batch["labels"].shape
         use_chunked_ce = b * t * cfg.decoder.vocab_size >= 2 ** 27
         out = vlm_forward(
-            params, cfg, batch, remat=remat, use_pallas=use_pallas,
-            compute_logits=not use_chunked_ce,
+            params, cfg, batch, remat=remat, remat_policy=remat_policy,
+            use_pallas=use_pallas, compute_logits=not use_chunked_ce,
         )
         if use_chunked_ce:
             head = (
@@ -134,6 +135,7 @@ def plan_train_shardings(
     mesh: Mesh,
     *,
     zero_params: bool = False,
+    zero_frozen: bool = False,
     zero_min_size: int = 2 ** 16,
     offload_opt_state: bool = False,
     force_offload: bool = False,
@@ -162,6 +164,19 @@ def plan_train_shardings(
             ),
             trainable,
             train_specs,
+        )
+    if zero_frozen:
+        # frozen params (e.g. the 8B decoder in the PT stage, which trains only
+        # projector+heads+tokens per pretrain.sh:31) are read-only; sharding
+        # them over 'data' on top of TP costs one all-gather per use and cuts
+        # their persistent HBM by the data size.
+        data_size = mesh.shape[DATA_AXIS]
+        frozen_specs = jax.tree_util.tree_map(
+            lambda x, s: shd.zero_pspec(
+                s, tuple(x.shape), data_size, min_size=zero_min_size
+            ),
+            frozen,
+            frozen_specs,
         )
     train_shardings = shd.to_named(train_specs, mesh)
     frozen_shardings = shd.to_named(frozen_specs, mesh)
@@ -203,10 +218,13 @@ def make_train_step(
     teacher_fn=None,
     teacher_params=None,
     remat: bool = True,
+    remat_policy: Optional[str] = None,
     use_pallas: Optional[bool] = None,
     zero_params: bool = False,
+    zero_frozen: bool = False,
     zero_min_size: int = 2 ** 16,
     offload_opt_state: bool = False,
+    shard_teachers: bool = False,
 ) -> Tuple[Callable, TrainState, Any]:
     """Build (jitted_step, initial sharded TrainState, state shardings).
 
@@ -223,7 +241,8 @@ def make_train_step(
         train_shardings, frozen_shardings, opt_shardings, state_shardings,
     ) = plan_train_shardings(
         cfg, opt_cfg, params, mesh,
-        zero_params=zero_params, zero_min_size=zero_min_size,
+        zero_params=zero_params, zero_frozen=zero_frozen,
+        zero_min_size=zero_min_size,
         offload_opt_state=offload_opt_state,
     )
 
@@ -231,6 +250,7 @@ def make_train_step(
         cfg,
         teacher_fn=teacher_fn,
         remat=remat,
+        remat_policy=remat_policy,
         use_pallas=use_pallas,
     )
 
@@ -244,6 +264,19 @@ def make_train_step(
     # repeated make_train_step calls).
     trainable = jax.tree_util.tree_map(lambda x: x.copy(), trainable)
     frozen = jax.device_put(frozen, frozen_shardings)
+    if shard_teachers and teacher_params is not None:
+        from visper_lm_tpu.parallel.mesh import MODEL_AXIS
+
+        tp_size = mesh.shape.get(MODEL_AXIS, 1)
+        teacher_params = jax.device_put(
+            teacher_params,
+            jax.tree_util.tree_map(
+                lambda x: NamedSharding(
+                    mesh, shd.model_shard_pspec(tuple(x.shape), tp_size)
+                ),
+                teacher_params,
+            ),
+        )
     opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
     state = TrainState(
         params=trainable,

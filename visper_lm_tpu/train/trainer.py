@@ -46,6 +46,13 @@ class TrainerConfig:
     zero_params: bool = False
     # zero3_offload.json-equivalent: optimizer moments live in host memory (TPU only)
     offload_opt_state: bool = False
+    # ZeRO-shard FROZEN params over 'data' (the 8B decoder in the PT stage) and
+    # frozen teacher weights over 'model' — the docs/Scale8B.md fit levers
+    zero_frozen: bool = False
+    shard_teachers: bool = False
+    # remat policy: None = full per-block remat; 'save_flash' keeps the flash
+    # attention outputs (skips their backward recompute; costs HBM)
+    remat_policy: Optional[str] = None
     resume: bool = True
     # device batches buffered ahead; 1 still overlaps transfer with compute while
     # keeping only one extra batch resident (matters at HBM-edge model sizes)
@@ -145,7 +152,10 @@ def train(
             teacher_fn=teacher_fn, teacher_params=teacher_params,
             use_pallas=use_pallas,
             zero_params=trainer_cfg.zero_params,
+            zero_frozen=trainer_cfg.zero_frozen,
             offload_opt_state=trainer_cfg.offload_opt_state,
+            shard_teachers=trainer_cfg.shard_teachers,
+            remat_policy=trainer_cfg.remat_policy,
         )
 
         start_step = 0
