@@ -21,6 +21,8 @@ def main() -> None:
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     p.add_argument("--weight-quant", action="store_true", help="w8a16 decoder weights")
+    p.add_argument("--weight-quant4", action="store_true",
+                   help="w4a16 group-wise int4 decoder weights")
     args = p.parse_args()
 
     import jax
@@ -59,12 +61,13 @@ def main() -> None:
     size = cfg.vision.image_size
     batch["images"] = rng.normal(size=(B, size, size, 3)).astype(np.float32)
 
+    wq = "int4" if args.weight_quant4 else args.weight_quant
     gen = Generator(
         params, cfg,
         GenerationConfig(max_new_tokens=new, kv_quant=args.kv_quant,
-                         weight_quant=args.weight_quant), B, prompt,
+                         weight_quant=wq), B, prompt,
     )
-    if args.weight_quant:
+    if wq:
         del params  # the Generator holds a quantized copy; free the bf16 decoder
     out = gen.generate(dict(batch))                      # compile both phases
     n_tok = sum(len(o) for o in out)

@@ -157,3 +157,35 @@ def test_loglikelihood_rolling(tiny_model):
     )
     assert len(scores) == 2
     assert all(np.isfinite(s) and s <= 0 for s in scores)
+
+
+def test_cvbench_and_mmstar_tasks_through_harness(tiny_model):
+    """All four headline benchmarks run through the one evaluate() interface."""
+    from PIL import Image
+
+    from visper_lm_tpu.eval.harness import (
+        cvbench_overall,
+        cvbench_task,
+        mmstar_task,
+        simple_evaluate,
+    )
+
+    img = Image.new("RGB", (32, 32), (120, 10, 10))
+    cv_docs = [
+        {"image": img, "question": "Which is closer?\n(A) car (B) bus",
+         "answer": "(A)", "task": "Depth", "source": "ADE20K"},
+        {"image": img, "question": "How many?\n(A) 1 (B) 2",
+         "answer": "(B)", "task": "Count", "source": "Omni3D"},
+    ]
+    mm_docs = [
+        {"image": img, "question": "What is shown?\nA. cat\nB. dog",
+         "answer": "A", "category": "coarse perception",
+         "l2_category": "image scene and topic"},
+    ]
+    out = simple_evaluate(
+        tiny_model, [cvbench_task(cv_docs), mmstar_task(mm_docs)], batch_size=2
+    )
+    cv = out["results"]["cvbench"]
+    assert "exact_match" in cv
+    assert 0.0 <= cvbench_overall(cv) <= 1.0
+    assert "exact_match" in out["results"]["mmstar"]

@@ -352,3 +352,72 @@ def ok_vqa_task(docs: Sequence[dict]) -> TaskConfig:
                            "until": ["ASSISTANT:"]},
         split="val2014",
     )
+
+
+# ------------------------------------------------- CV-Bench / MMStar tasks
+
+
+def cvbench_task(docs: Sequence[dict]) -> TaskConfig:
+    """CV-Bench as a harness task (docs: prepare_cvbench records with 'image'
+    as a PIL image or path). Per-source exact_match metrics; combine with
+    cvbench_overall() for the reference's (mean(ADE20K,COCO)+Omni3D)/2."""
+    from visper_lm_tpu.eval.cvbench import extract_choice
+
+    def process(doc: dict, results: List[str]) -> Dict[str, float]:
+        ok = 1.0 if extract_choice(results[0]) == doc["answer"] else 0.0
+        return {"exact_match": ok, f"acc_{doc['source']}": ok}
+
+    def visual(doc):
+        img = doc["image"]
+        if isinstance(img, str):
+            from PIL import Image
+
+            img = Image.open(img).convert("RGB")
+        return [img]
+
+    return TaskConfig(
+        name="cvbench",
+        docs=docs,
+        doc_to_visual=visual,
+        doc_to_text=lambda d: d["question"],
+        process_results=process,
+        generation_kwargs={"max_new_tokens": 128, "temperature": 0},
+    )
+
+
+def cvbench_overall(task_results: Dict[str, float]) -> float:
+    """Reference accuracy formula over cvbench_task results
+    (eval_cv_bench.py:26-78)."""
+    acc_2d = (
+        task_results.get("acc_ADE20K", 0.0) + task_results.get("acc_COCO", 0.0)
+    ) / 2
+    acc_3d = task_results.get("acc_Omni3D", 0.0)
+    return (acc_2d + acc_3d) / 2
+
+
+def mmstar_task(docs: Sequence[dict]) -> TaskConfig:
+    """MMStar as a harness task (docs: prepare_mmstar records). exact_match is
+    the letter-match with the reference's fallbacks (mmstar/evaluate)."""
+    from visper_lm_tpu.eval.mmstar import _prediction_matches
+
+    def process(doc: dict, results: List[str]) -> Dict[str, float]:
+        ok = 1.0 if _prediction_matches(str(doc["answer"]), results[0]) else 0.0
+        return {"exact_match": ok}
+
+    def visual(doc):
+        img = doc["image"]
+        if isinstance(img, str):
+            from PIL import Image
+
+            img = Image.open(img).convert("RGB")
+        return [img]
+
+    return TaskConfig(
+        name="mmstar",
+        docs=docs,
+        doc_to_visual=visual,
+        doc_to_text=lambda d: d["question"],
+        process_results=process,
+        generation_kwargs={"max_new_tokens": 128, "temperature": 0},
+        split="val",
+    )
