@@ -158,8 +158,10 @@ def test_int4_weights_quarter_size_and_bounded_drift(model):
 
     dec = model.params["decoder"]
     q = quantize_linear_weights_int4(dec)
-    leaves = jax.tree_util.tree_leaves(q)
-    assert any(getattr(a, "dtype", None) == jnp.int4 for a in leaves)
+    # packed: one int8 byte carries two int4 values -> half the int8 footprint
+    qk = q["blocks"]["q_proj"]["kernel_q4p"]
+    dk = dec["blocks"]["q_proj"]["kernel"]
+    assert qk.dtype == jnp.int8 and qk.shape[-2] == dk.shape[-2] // 2
 
     from visper_lm_tpu.data.collate import build_splice_plan
     from visper_lm_tpu.data.mm_utils import tokenizer_image_token

@@ -57,22 +57,31 @@ def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
         # approximation beyond the quantization itself.
         y = jnp.dot(x, p["kernel_q8"].astype(x.dtype), precision=precision)
         y = y * p["out_scale"].astype(y.dtype)
-    elif "kernel_q4" in p:
-        # w4a16 serving weights: int4 kernel with GROUP-wise (input-dim groups
-        # x output-channel) scales — per-output-channel alone is too coarse at
-        # 4 bits. y = sum_g (x_g @ W_g) * s_g; the int4 kernel streams from
-        # HBM at a quarter of bf16 and upcasts in-fusion.
-        q = p["kernel_q4"]                       # (din, dout) int4
+    elif "kernel_q4p" in p:
+        # w4a16 serving weights: two int4 values NIBBLE-PACKED per int8 byte
+        # (the native S4 dtype cannot be transferred under the TPU relay), with
+        # GROUP-wise (input-dim groups x output-channel) scales — per-output-
+        # channel alone is too coarse at 4 bits. The packed kernel streams from
+        # HBM at a quarter of bf16; unpack is two arithmetic shifts in-fusion.
+        # y = sum_g (x_g @ W_g) * s_g.
+        packed = p["kernel_q4p"]                 # (din//2, dout) int8
         s = p["q4_scale"]                        # (G, dout)
+        low = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extended
+        high = jnp.right_shift(packed, 4)
+        q = jnp.stack([low, high], axis=1).reshape(
+            packed.shape[0] * 2, packed.shape[1]
+        )
         groups = s.shape[0]
         din, dout = q.shape
-        gs = din // groups
-        xg = x.reshape(x.shape[:-1] + (groups, gs))
-        wg = q.astype(x.dtype).reshape(groups, gs, dout)
-        partial = jnp.einsum(
-            "...gk,gkd->...gd", xg, wg, precision=precision
-        )
-        y = jnp.einsum("...gd,gd->...d", partial, s.astype(x.dtype))
+        # dequantize as ONE elementwise chain feeding ONE dot: XLA fuses the
+        # unpack+scale into the matmul operand load (a per-group einsum
+        # decomposition was measured 5x slower at decode: tiny per-group
+        # matvecs defeat the weight-streaming pipeline)
+        wf = (
+            q.astype(x.dtype).reshape(groups, din // groups, dout)
+            * s[:, None, :].astype(x.dtype)
+        ).reshape(din, dout)
+        y = jnp.dot(x, wf, precision=precision)
     else:
         y = jnp.dot(x, p["kernel"], precision=precision)
     if "bias" in p:
@@ -125,7 +134,8 @@ def quantize_linear_weights(params: Params) -> Params:
 def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
     """GROUP-wise symmetric int4 quantization of every linear 'kernel'.
 
-    {kernel} -> {kernel_q4 (int4), q4_scale (G, dout) f32} with G = din/group
+    {kernel} -> {kernel_q4p (nibble-packed int8, (din/2, dout)), q4_scale
+    (G, dout) f32} with G = din/group
     input-dim groups (stacked leading dims quantized per layer then restacked).
     Tensors whose input dim doesn't divide by `group` fall back to one group
     per 128.. smallest divisor, or stay dense if din < 16. Serving-only: int4
@@ -141,11 +151,16 @@ def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
         grouped = wf.reshape(lead + (g, din // g, dout))
         amax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) / 7.0
-        q = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int4)
-        return (
-            q.reshape(lead + (din, dout)),
-            jnp.squeeze(scale, -2),
-        )
+        q = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int8)
+        q = q.reshape(lead + (din, dout))
+        # nibble-pack rows pairwise: even row -> low nibble, odd -> high
+        pairs = q.reshape(lead + (din // 2, 2, dout))
+        low = pairs[..., 0, :]
+        high = pairs[..., 1, :]
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(low, jnp.int8(0x0F)), jnp.left_shift(high, 4)
+        ).astype(jnp.int8)
+        return packed, jnp.squeeze(scale, -2)
 
     def convert(p):
         if not (isinstance(p, dict) and "kernel" in p):
@@ -162,7 +177,7 @@ def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
         if g is None:
             return dict(p)
         q, scale = _quant(w, g)
-        out = {"kernel_q4": q, "q4_scale": scale}
+        out = {"kernel_q4p": q, "q4_scale": scale}
         if "bias" in p:
             out["bias"] = p["bias"]
         return out
