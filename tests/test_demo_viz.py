@@ -226,3 +226,82 @@ def test_chat_streams_partial_text(model):
     assert len(chunks) >= 2
     assert all(isinstance(c, str) and c for c in chunks)
     assert "".join(chunks) == out[0]
+
+
+def test_pack_teacher_bundles_and_hf_dir_discovery(model, tmp_path):
+    """teacher_bundles CLI path: pack a tiny HF OneFormer + a torch DAv2
+    state dict; load_viz_decoders consumes both the packed bundles AND the raw
+    HF dir."""
+    torch = pytest.importorskip("torch")
+    from transformers import OneFormerConfig, SwinConfig as HFSwinConfig
+    from transformers.models.oneformer.modeling_oneformer import (
+        OneFormerForUniversalSegmentation,
+    )
+
+    backbone = HFSwinConfig(
+        image_size=64, patch_size=4, embed_dim=2, depths=[1, 1, 1, 1],
+        num_heads=[1, 1, 1, 2], window_size=2, drop_path_rate=0.0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    hf_cfg = OneFormerConfig(
+        backbone_config=backbone,
+        conv_dim=32, mask_dim=32, hidden_dim=32,
+        encoder_feedforward_dim=48, dim_feedforward=48,
+        num_queries=4, encoder_layers=1, decoder_layers=2,
+        num_attention_heads=2, dropout=0.0,
+        task_seq_len=77, text_encoder_n_ctx=16, max_seq_len=77,
+        use_auxiliary_loss=False, num_labels=5,
+    )
+    torch.manual_seed(1)
+    hf = OneFormerForUniversalSegmentation(hf_cfg).eval()
+    hf_dir = tmp_path / "teachers" / "oneformer"
+    hf.save_pretrained(hf_dir, safe_serialization=True)
+
+    # raw HF dir discovery (the load path real checkpoints use)
+    from visper_lm_tpu.demo import load_viz_decoders
+
+    dec = load_viz_decoders(model, None, str(tmp_path / "teachers"), quiet=True)
+    assert "oneformer" in dec
+    assert dec["oneformer"]["cfg"].num_queries == 4
+    assert dec["oneformer"]["swin_cfg"].embed_dim == 2
+
+    # packed bundle path
+    from visper_lm_tpu.checkpoint.teacher_bundles import pack_dav2, pack_oneformer
+
+    packed = tmp_path / "packed"
+    pack_oneformer(str(hf_dir), str(packed), image_size=64)
+
+    # DAv2: synthetic torch state dict through the .pth branch
+    import importlib.util, sys, types
+
+    REF = "/root/reference/ola_vlm"
+    for name, path in (
+        ("ola_vlm", REF), ("ola_vlm.model", f"{REF}/model"),
+        ("ola_vlm.model.multimodal_projector", f"{REF}/model/multimodal_projector"),
+    ):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "ola_vlm.model.multimodal_projector.resampler",
+        f"{REF}/model/multimodal_projector/resampler.py",
+    )
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = m
+    spec.loader.exec_module(m)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_da_pack", f"{REF}/model/aux_heads/da_v2_head.py"
+    )
+    da = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_da_pack"] = da
+    spec.loader.exec_module(da)
+    head = da.DAv2_Head(encoder="vitl")
+    pth = tmp_path / "dav2.pth"
+    torch.save(head.state_dict(), pth)
+    pack_dav2(str(pth), str(packed))
+
+    dec2 = load_viz_decoders(model, None, str(packed), quiet=True)
+    assert "oneformer" in dec2 and "dpt_params" in dec2
+    assert dec2["oneformer"]["cfg"].num_queries == 4
