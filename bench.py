@@ -127,7 +127,7 @@ def measure(args, batch_size: int):
         from visper_lm_tpu.models.teachers import init_teachers, make_teacher_fn
 
         teacher_params = init_teachers(jax.random.PRNGKey(7), cfg)
-        teacher_fn = make_teacher_fn(cfg)
+        teacher_fn = make_teacher_fn(cfg, microbatch=args.teacher_microbatch)
         batch = add_teacher_inputs(cfg, batch, batch_size)
     else:
         batch = add_random_targets(cfg, batch, batch_size)
@@ -186,6 +186,8 @@ def main():
                         help="comma-separated batch sizes; reports the best")
     parser.add_argument("--no-teachers", action="store_true",
                         help="precomputed random targets instead of in-jit teachers")
+    parser.add_argument("--teacher-microbatch", type=int, default=2,
+                        help="teacher lax.map chunk size (0 disables chunking)")
     parser.add_argument("--remat-policy", default=None,
                         help="'save_flash' keeps flash-attention outputs across "
                         "the backward (skips their recompute; costs HBM)")
