@@ -236,3 +236,45 @@ def test_dpt_head_parity_with_torch_spec():
         np.testing.assert_allclose(np.array(got), ref, rtol=2e-4, atol=2e-4)
     finally:
         dpt_lib.OUT_CHANNELS, dpt_lib.FEATURES = old_oc, old_f
+
+
+def test_swin_pair_scan_matches_unrolled():
+    """The static-shift PAIR scan (depth >= 4) == per-block unrolled execution."""
+    import jax
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.models.teachers.swin import (
+        SwinConfig,
+        _rel_pos_index,
+        _shift_attn_mask,
+        _swin_block,
+        init_swin,
+        swin_forward,
+    )
+
+    cfg = SwinConfig(embed_dim=8, depths=(4,), num_heads=(2,), window_size=2)
+    params = init_swin(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+
+    out = swin_forward(params, cfg, images, out_stages=(0,))[0]
+
+    # reference: run the stacked blocks one by one with explicit static shifts
+    from visper_lm_tpu.utils.param import layernorm
+    from visper_lm_tpu.utils.image import conv2d
+
+    x = conv2d(params["patch_embed"], images, stride=cfg.patch_size, padding="VALID")
+    x = layernorm(params["patch_norm"], x, cfg.norm_eps)
+    ws = cfg.window_size
+    rel_index = jnp.asarray(_rel_pos_index(ws))
+    h, w = x.shape[1], x.shape[2]
+    shift = ws // 2
+    mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+    for i in range(4):
+        blk = jax.tree_util.tree_map(lambda a: a[i], params["stages"][0]["blocks"])
+        x = _swin_block(
+            blk, x, cfg.num_heads[0], ws, shift if i % 2 == 1 else 0,
+            rel_index, mask, cfg.norm_eps,
+        )
+    ref = layernorm(params["out_norms"][0], x, cfg.norm_eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -146,45 +146,58 @@ def _swin_block(
     x: jax.Array,            # (B, H, W, C)
     heads: int,
     ws: int,
-    shift,                   # traced int scalar (0 for even blocks) — scanned over
+    shift: int,              # STATIC python int (0 for even blocks)
     rel_index: jax.Array,    # (N, N) static
     shift_mask: Optional[jax.Array],   # (nW, N, N) additive; applied iff shift > 0
     eps: float,
 ) -> jax.Array:
+    """shift is STATIC: a traced shift forced every block (including the
+    un-shifted half) through a dynamic-roll GATHER over the full (B,H,W,C)
+    feature map — pure HBM traffic the un-shifted blocks never needed, and a
+    gather where the shifted blocks only need slice+concat. The stage loop
+    scans PAIRS of blocks so both shift values stay compile-time constants."""
     b, h, w, c = x.shape
     hd = c // heads
     n = ws * ws
-    shift = jnp.asarray(shift)
 
     shortcut = x
     y = layernorm(block["norm1"], x, eps)
-    # roll by a traced amount: identity when shift == 0
-    y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+    if shift:
+        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     win = _window_partition(y, ws)                       # (B*nW, N, C)
     qkv = linear(block["qkv"], win).reshape(-1, n, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3) * (hd ** -0.5)
-    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)
-    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    # score matmuls run at the ACTIVATION dtype (bf16 in the in-jit teacher
+    # path; MXU accumulates f32) — forcing f32 operands here made the whole
+    # Swin-L@768 teacher run at ~13 TF/s (measured round 3). Softmax math and
+    # bias stay f32.
+    qf = (q * (hd ** -0.5)).astype(x.dtype).transpose(0, 2, 1, 3)
+    kf = k.transpose(0, 2, 1, 3)
+    vf = v.transpose(0, 2, 1, 3)
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", qf, kf, preferred_element_type=jnp.float32
+    )
 
     bias = jnp.take(block["rel_bias"].astype(jnp.float32), rel_index.reshape(-1), axis=0)
     bias = bias.reshape(n, n, heads).transpose(2, 0, 1)   # (heads, N, N)
     attn = attn + bias[None]
 
-    if shift_mask is not None:
+    if shift and shift_mask is not None:
         n_win = shift_mask.shape[0]
-        gate = (shift > 0).astype(jnp.float32)
-        attn = attn.reshape(b, n_win, heads, n, n) + gate * shift_mask[None, :, None]
+        attn = attn.reshape(b, n_win, heads, n, n) + shift_mask[None, :, None]
         attn = attn.reshape(-1, heads, n, n)
 
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, vf).transpose(0, 2, 1, 3)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(x.dtype), vf,
+        preferred_element_type=jnp.float32,
+    ).transpose(0, 2, 1, 3)
     out = out.reshape(-1, n, c).astype(x.dtype)
     out = linear(block["proj"], out)
     out = _window_merge(out, ws, b, h, w)
-    out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
     x = shortcut + out
 
     y = layernorm(block["norm2"], x, eps)
@@ -227,22 +240,36 @@ def swin_forward(
             jnp.asarray(_shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         )
         depth = cfg.depths[s]
-        # per-block shift amounts scanned alongside the stacked block params
-        shifts = jnp.asarray(
-            [shift if i % 2 == 1 else 0 for i in range(depth)], dtype=jnp.int32
-        )
-
-        def body(h_, xs, heads=heads, shift_mask=shift_mask):
-            block, blk_shift = xs
-            return (
-                _swin_block(
-                    block, h_, heads, ws, blk_shift, rel_index, shift_mask,
-                    cfg.norm_eps,
-                ),
-                None,
+        if depth % 2 == 0 and depth >= 4:
+            # scan over (regular, shifted) PAIRS so both shift values are
+            # static: the regular half loses its rolls entirely and the
+            # shifted half gets slice+concat rolls instead of gathers
+            paired = jax.tree_util.tree_map(
+                lambda a: a.reshape((depth // 2, 2) + a.shape[1:]),
+                stage["blocks"],
             )
 
-        x, _ = jax.lax.scan(body, x, (stage["blocks"], shifts))
+            def body(h_, pair, heads=heads, shift_mask=shift_mask, shift=shift):
+                blk_a = jax.tree_util.tree_map(lambda a: a[0], pair)
+                blk_b = jax.tree_util.tree_map(lambda a: a[1], pair)
+                h_ = _swin_block(
+                    blk_a, h_, heads, ws, 0, rel_index, None, cfg.norm_eps
+                )
+                h_ = _swin_block(
+                    blk_b, h_, heads, ws, shift, rel_index, shift_mask,
+                    cfg.norm_eps,
+                )
+                return h_, None
+
+            x, _ = jax.lax.scan(body, x, paired)
+        else:
+            # short stages (Swin-L: depth 2): unrolled with static shifts
+            for i in range(depth):
+                blk = jax.tree_util.tree_map(lambda a: a[i], stage["blocks"])
+                x = _swin_block(
+                    blk, x, heads, ws, shift if i % 2 == 1 else 0,
+                    rel_index, shift_mask, cfg.norm_eps,
+                )
         if s in out_stages:
             outputs.append(layernorm(params["out_norms"][s], x, cfg.norm_eps))
         if "downsample" in stage:

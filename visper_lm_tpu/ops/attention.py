@@ -66,8 +66,14 @@ def mha_xla(
     k = _broadcast_kv(k, nq)
     v = _broadcast_kv(v, nq)
 
-    qf = q.astype(jnp.float32) * scale
-    logits = jnp.einsum("btnh,bsnh->bnts", qf, k.astype(jnp.float32))
+    # dot in the INPUT dtype with f32 accumulation: bf16 operands are exact
+    # under the MXU's f32 accumulate, while upcasting operands to f32 runs the
+    # matmul ~8x slower on TPU (measured on the in-jit teacher stack, round 3).
+    # f32 inputs are unchanged. Scale is applied in f32 to avoid bf16 rounding.
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    logits = jnp.einsum(
+        "btnh,bsnh->bnts", qf, k, preferred_element_type=jnp.float32
+    )
 
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -92,7 +98,10 @@ def mha_xla(
         logits = jnp.where(mask, logits, _NEG_INF)
 
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bnts,bsnh->btnh", probs, v.astype(jnp.float32))
+    out = jnp.einsum(
+        "bnts,bsnh->btnh", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     from jax.ad_checkpoint import checkpoint_name
 
     # same name as the Pallas path so the save_flash remat policy applies
