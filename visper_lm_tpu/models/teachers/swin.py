@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visper_lm_tpu.ops.window_attention import window_attention
 from visper_lm_tpu.utils.image import conv2d, init_conv
 from visper_lm_tpu.utils.param import (
     Params,
@@ -166,34 +167,20 @@ def _swin_block(
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     win = _window_partition(y, ws)                       # (B*nW, N, C)
     qkv = linear(block["qkv"], win).reshape(-1, n, 3, heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-    # score matmuls run at the ACTIVATION dtype (bf16 in the in-jit teacher
-    # path; MXU accumulates f32) — forcing f32 operands here made the whole
-    # Swin-L@768 teacher run at ~13 TF/s (measured round 3). Softmax math and
-    # bias stay f32.
-    qf = (q * (hd ** -0.5)).astype(x.dtype).transpose(0, 2, 1, 3)
-    kf = k.transpose(0, 2, 1, 3)
-    vf = v.transpose(0, 2, 1, 3)
-    attn = jnp.einsum(
-        "bhnd,bhmd->bhnm", qf, kf, preferred_element_type=jnp.float32
-    )
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)               # (W, heads, N, hd)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
     bias = jnp.take(block["rel_bias"].astype(jnp.float32), rel_index.reshape(-1), axis=0)
     bias = bias.reshape(n, n, heads).transpose(2, 0, 1)   # (heads, N, N)
-    attn = attn + bias[None]
 
-    if shift and shift_mask is not None:
-        n_win = shift_mask.shape[0]
-        attn = attn.reshape(b, n_win, heads, n, n) + shift_mask[None, :, None]
-        attn = attn.reshape(-1, heads, n, n)
-
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn.astype(x.dtype), vf,
-        preferred_element_type=jnp.float32,
-    ).transpose(0, 2, 1, 3)
-    out = out.reshape(-1, n, c).astype(x.dtype)
+    # fused kernel on TPU (ops/window_attention.py): the batched tiny
+    # (144x32)@(32x144) einsums + f32 score round-trips run at ~5 TF/s in
+    # XLA; the kernel keeps each window's scores/softmax in VMEM
+    out = window_attention(
+        q, k, v, bias, shift_mask if shift else None, scale=hd ** -0.5
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(-1, n, c).astype(x.dtype)
     out = linear(block["proj"], out)
     out = _window_merge(out, ws, b, h, w)
     if shift:
