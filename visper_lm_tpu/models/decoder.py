@@ -27,6 +27,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from visper_lm_tpu.config import DecoderConfig
 from visper_lm_tpu.models.rope import apply_rope, rope_cos_sin
@@ -163,6 +164,7 @@ def _block_forward(
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # per-layer (B, S, Nkv, H)
     use_pallas: Optional[bool],
     kv_starts: Optional[jax.Array] = None,
+    quant_saves: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, t, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -183,6 +185,11 @@ def _block_forward(
     v = v.reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    # post-rope tags: the save_qkv_mlp policy hands the flash backward its
+    # inputs directly (skips qkv-matmul AND rope recompute)
+    q = checkpoint_name(q, "qkv")
+    k = checkpoint_name(k, "qkv")
+    v = checkpoint_name(v, "qkv")
 
     new_cache = None
     if cache_kv is not None:
@@ -231,10 +238,44 @@ def _block_forward(
     h = h + linear(block["o_proj"], attn)
 
     x = rmsnorm(block["mlp_norm"], h, cfg.norm_eps)
-    gate = jax.nn.silu(linear(block["gate_proj"], x))
+    # named for the save_mlp/save_qkv_mlp remat policies: with a FROZEN decoder
+    # (PT stage) the backward's dx path needs activations only at the nonlinear
+    # points — pre-silu gate and up (for d(gate*up)) and q/k/v (for the flash
+    # backward). Saving them skips the three expensive recompute matmuls per
+    # block; everything else (o_proj, down_proj outputs) is DCE'd from the
+    # recompute because frozen layers take no dw.
+    gate_pre = linear(block["gate_proj"], x)
     up = linear(block["up_proj"], x)
+    if quant_saves:
+        # save_mlp_q8: checkpoint int8 (value, per-token scale) pairs instead
+        # of bf16 — half the residual HBM of save_mlp (which OOMs at B4 on
+        # v5e: 16.76G of 15.75G), still skipping both 8x-wide recompute
+        # matmuls. fwd uses the dequantized values too, so fwd and bwd see
+        # identical activations (the ~0.4% rounding is consistent, not noise).
+        gate_pre = _dequant_saved(*_quant_saved(gate_pre, "mlp_gate"))
+        up = _dequant_saved(*_quant_saved(up, "mlp_up"))
+    else:
+        gate_pre = checkpoint_name(gate_pre, "mlp_gate")
+        up = checkpoint_name(up, "mlp_up")
+    gate = jax.nn.silu(gate_pre)
     h = h + linear(block["down_proj"], gate * up)
     return h, new_cache
+
+
+def _quant_saved(x: jax.Array, name: str):
+    """Per-token symmetric int8 quantization of a saved residual, with both the
+    int8 values and the (tiny) f32 scales tagged for the remat policy."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return (
+        checkpoint_name(q, f"{name}_q8"),
+        checkpoint_name(scale, f"{name}_scale"),
+    )
+
+
+def _dequant_saved(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def _remat_policy(name: Optional[str]):
@@ -246,6 +287,29 @@ def _remat_policy(name: Optional[str]):
         return None
     if name == "save_flash":
         return jax.checkpoint_policies.save_only_these_names("flash_out")
+    if name == "save_mlp":
+        # pre-silu gate + up: the only MLP activations the frozen-decoder dx
+        # path needs — skips both 8x-wide matmuls in the backward recompute
+        # for one (B, T, 2*mlp_dim) bf16 residual per layer
+        return jax.checkpoint_policies.save_only_these_names(
+            "mlp_gate", "mlp_up"
+        )
+    if name == "save_qkv_mlp":
+        # + post-rope q/k/v: hands the flash backward its inputs directly
+        # (skips the qkv matmul and rope recompute too)
+        return jax.checkpoint_policies.save_only_these_names(
+            "mlp_gate", "mlp_up", "qkv"
+        )
+    if name == "save_gate":
+        # half of save_mlp (fits where save_mlp OOMs): skips the gate-matmul
+        # recompute only, exact numerics
+        return jax.checkpoint_policies.save_only_these_names("mlp_gate")
+    if name == "save_mlp_q8":
+        # int8 saved residuals: the bytes of save_gate, the skipped FLOPs of
+        # save_mlp (see _quant_saved)
+        return jax.checkpoint_policies.save_only_these_names(
+            "mlp_gate_q8", "mlp_gate_scale", "mlp_up_q8", "mlp_up_scale"
+        )
     raise ValueError(f"unknown remat policy {name!r}")
 
 
@@ -294,12 +358,14 @@ def decoder_forward(
     has_cache = cache is not None
     quant_cache = isinstance(cache, QuantKVCache)
 
+    quant_saves = remat and remat_policy == "save_mlp_q8"
+
     def body(carry, xs):
         h = carry
         block = xs
         h, _ = _block_forward(
             block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
-            kv_starts,
+            kv_starts, quant_saves=quant_saves,
         )
         return h, None
 
@@ -394,7 +460,7 @@ def decoder_forward(
             )
             h, _ = _block_forward(
                 block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
-                kv_starts,
+                kv_starts, quant_saves=quant_saves,
             )
             return h, None
 

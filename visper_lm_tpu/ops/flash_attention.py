@@ -284,18 +284,48 @@ def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
     return p
 
 
+def _kv_major_causal_pairs(nq_blk: int, nk_blk: int, bq: int, bk: int):
+    """kv-major (kj, qi) pairs covering only q blocks at/below the causal diagonal.
+
+    Mirror of _causal_pairs for the dk/dv kernel, whose accumulator lives at a kv
+    block: for each kv block only the q blocks its columns can attend from are
+    visited. Returns (qi_of, kj_of, last_of); last_of marks each kv block's final
+    q step.
+    """
+    import numpy as _np
+
+    qi_of, kj_of, last_of = [], [], []
+    for kj in range(nk_blk):
+        qi_min = (kj * bk) // bq
+        for qi in range(qi_min, nq_blk):
+            qi_of.append(qi)
+            kj_of.append(kj)
+            last_of.append(1 if qi == nq_blk - 1 else 0)
+    return (
+        _np.asarray(qi_of, _np.int32),
+        _np.asarray(kj_of, _np.int32),
+        _np.asarray(last_of, _np.int32),
+    )
+
+
 def _bwd_dq_kernel(
     kvlen_ref, kvstart_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
-    use_kvstart: bool = False,
+    use_kvstart: bool = False, qi_ref=None, kj_ref=None, last_ref=None,
 ):
     b = pl.program_id(0)
-    qi = pl.program_id(2)
-    kj = pl.program_id(3)
-    n_kv = pl.num_programs(3)
+    if qi_ref is not None:
+        p_idx = pl.program_id(2)
+        qi = qi_ref[p_idx]
+        kj = kj_ref[p_idx]
+        is_last = last_ref[p_idx] == 1
+    else:
+        qi = pl.program_id(2)
+        kj = pl.program_id(3)
+        is_last = kj == pl.num_programs(3) - 1
 
     @pl.when(kj == 0)
     def _init():
@@ -303,7 +333,8 @@ def _bwd_dq_kernel(
 
     q_start = qi * bq
     k_start = kj * bk
-    needed = (k_start <= q_start + bq - 1) if causal else (kj >= 0)
+    # with a squashed grid every iteration is needed; otherwise predicate causal
+    needed = (k_start <= q_start + bq - 1) if (causal and qi_ref is None) else (kj >= 0)
 
     @pl.when(needed)
     def _compute():
@@ -324,7 +355,7 @@ def _bwd_dq_kernel(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
-    @pl.when(kj == n_kv - 1)
+    @pl.when(is_last)
     def _finalize():
         dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
 
@@ -335,21 +366,30 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool, g: int,
-    use_kvstart: bool = False,
+    use_kvstart: bool = False, qi_ref=None, kj_ref=None, last_ref=None,
 ):
     b = pl.program_id(0)
-    kj = pl.program_id(2)
-    qi = pl.program_id(3)
-    n_q = pl.num_programs(3)
+    if qi_ref is not None:
+        p_idx = pl.program_id(2)
+        qi = qi_ref[p_idx]
+        kj = kj_ref[p_idx]
+        is_last = last_ref[p_idx] == 1
+        # kv-major pairs: a kv block's first visited q block sits on the diagonal
+        is_first = qi == (kj * bk) // bq
+    else:
+        kj = pl.program_id(2)
+        qi = pl.program_id(3)
+        is_last = qi == pl.num_programs(3) - 1
+        is_first = qi == 0
 
-    @pl.when(qi == 0)
+    @pl.when(is_first)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     q_start = qi * bq
     k_start = kj * bk
-    needed = (k_start <= q_start + bq - 1) if causal else (qi >= 0)
+    needed = (k_start <= q_start + bq - 1) if (causal and qi_ref is None) else (qi >= 0)
 
     @pl.when(needed)
     def _compute():
@@ -373,7 +413,7 @@ def _bwd_dkv_kernel(
             ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
         )
 
-    @pl.when(qi == n_q - 1)
+    @pl.when(is_last)
     def _finalize():
         # dk/dv are per QUERY head here; the caller sums groups of G query heads
         # into each kv head (cheap XLA reshape-reduce).
@@ -407,48 +447,115 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
 
     common = dict(scale=scale, causal=causal, bq=bq_, bk=bk_, use_kvlen=use_kvlen,
                   use_kvstart=use_kvstart)
+    # grid-squash both backward kernels like the forward: skipped upper-triangle
+    # blocks never get DMA'd (predication still pays the copies)
+    squash = causal and t == s and (t // bq_) * (s // bk_) > 1
+
+    if squash:
+        dq_pairs = _causal_pairs(t // bq_, s // bk_, bq_, bk_)
+        dq_grid = (b, nq, len(dq_pairs[0]))
+
+        def dq_kernel(kvlen_ref, kvstart_ref, qi_ref, kj_ref, last_ref, *args):
+            return _bwd_dq_kernel(
+                kvlen_ref, kvstart_ref, *args, **common,
+                qi_ref=qi_ref, kj_ref=kj_ref, last_ref=last_ref,
+            )
+
+        def dq_qmap(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
+            return (b_, h_, qio[p], 0)
+
+        def dq_kvmap(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
+            return (b_, h_ // g, kjo[p], 0)
+
+        dq_scalars = (kvlen, kvstart) + tuple(jnp.asarray(a) for a in dq_pairs)
+        dq_nscalar = 5
+    else:
+        dq_grid = (b, nq, t // bq_, s // bk_)
+        dq_kernel = functools.partial(_bwd_dq_kernel, **common)
+
+        def dq_qmap(b_, h_, qi, kj, *refs):
+            return (b_, h_, qi, 0)
+
+        def dq_kvmap(b_, h_, qi, kj, *refs):
+            return (b_, h_ // g, kj, 0)
+
+        dq_scalars = (kvlen, kvstart)
+        dq_nscalar = 2
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
+        dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, nq, t // bq_, s // bk_),
+            num_scalar_prefetch=dq_nscalar,
+            grid=dq_grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, qi, kj, *refs, g=g: (b_, h_ // g, kj, 0)),
-                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, h), dq_qmap),
+                pl.BlockSpec((1, 1, bk_, h), dq_kvmap),
+                pl.BlockSpec((1, 1, bk_, h), dq_kvmap),
+                pl.BlockSpec((1, 1, bq_, h), dq_qmap),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), dq_qmap),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), dq_qmap),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, bq_, h), lambda b_, h_, qi, kj, *refs: (b_, h_, qi, 0)
-            ),
+            out_specs=pl.BlockSpec((1, 1, bq_, h), dq_qmap),
             scratch_shapes=[pltpu.VMEM((bq_, h), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b, nq, t, h), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+            if squash
+            else ("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen, kvstart, q, k, v, do, lse, delta)
+    )(*dq_scalars, q, k, v, do, lse, delta)
+
+    if squash:
+        dkv_pairs = _kv_major_causal_pairs(t // bq_, s // bk_, bq_, bk_)
+        dkv_grid = (b, nq, len(dkv_pairs[0]))
+
+        def dkv_kernel(kvlen_ref, kvstart_ref, qi_ref, kj_ref, last_ref, *args):
+            return _bwd_dkv_kernel(
+                kvlen_ref, kvstart_ref, *args, **common, g=g,
+                qi_ref=qi_ref, kj_ref=kj_ref, last_ref=last_ref,
+            )
+
+        dkv_qmap, dkv_kvmap = dq_qmap, dq_kvmap
+
+        def dkv_outmap(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
+            return (b_, h_, kjo[p], 0)
+
+        dkv_scalars = (kvlen, kvstart) + tuple(jnp.asarray(a) for a in dkv_pairs)
+        dkv_nscalar = 5
+    else:
+        dkv_grid = (b, nq, s // bk_, t // bq_)
+        dkv_kernel = functools.partial(_bwd_dkv_kernel, **common, g=g)
+
+        def dkv_qmap(b_, h_, kj, qi, *refs):
+            return (b_, h_, qi, 0)
+
+        def dkv_kvmap(b_, h_, kj, qi, *refs):
+            return (b_, h_ // g, kj, 0)
+
+        def dkv_outmap(b_, h_, kj, qi, *refs):
+            return (b_, h_, kj, 0)
+
+        dkv_scalars = (kvlen, kvstart)
+        dkv_nscalar = 2
 
     dk_per_qh, dv_per_qh = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common, g=g),
+        dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, nq, s // bk_, t // bq_),
+            num_scalar_prefetch=dkv_nscalar,
+            grid=dkv_grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs, g=g: (b_, h_ // g, kj, 0)),
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs, g=g: (b_, h_ // g, kj, 0)),
-                pl.BlockSpec((1, 1, bq_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
-                pl.BlockSpec((1, 1, bq_, STAT_LANES), lambda b_, h_, kj, qi, *refs: (b_, h_, qi, 0)),
+                pl.BlockSpec((1, 1, bq_, h), dkv_qmap),
+                pl.BlockSpec((1, 1, bk_, h), dkv_kvmap),
+                pl.BlockSpec((1, 1, bk_, h), dkv_kvmap),
+                pl.BlockSpec((1, 1, bq_, h), dkv_qmap),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), dkv_qmap),
+                pl.BlockSpec((1, 1, bq_, STAT_LANES), dkv_qmap),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, kj, 0)),
-                pl.BlockSpec((1, 1, bk_, h), lambda b_, h_, kj, qi, *refs: (b_, h_, kj, 0)),
+                pl.BlockSpec((1, 1, bk_, h), dkv_outmap),
+                pl.BlockSpec((1, 1, bk_, h), dkv_outmap),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bk_, h), jnp.float32),
@@ -460,10 +567,12 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+            if squash
+            else ("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen, kvstart, q, k, v, do, lse, delta)
+    )(*dkv_scalars, q, k, v, do, lse, delta)
 
     # collapse query-head groups onto kv heads
     dk = dk_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(k.dtype)

@@ -95,7 +95,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shard-teachers", action="store_true",
                    help="shard frozen teacher weights over the model axis")
     p.add_argument("--remat-policy", default=None,
-                   help="'save_flash' skips flash-attn backward recompute")
+                   help="remat save set: 'save_flash' | 'save_mlp' (gate+up, "
+                        "skips the 8x-wide MLP recompute matmuls) | "
+                        "'save_qkv_mlp' (+ post-rope q/k/v)")
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 (multi-host; TPU pods autodetect)")
     p.add_argument("--num-processes", type=int, default=None)
