@@ -59,6 +59,31 @@ def test_kernel_mask_tiles_with_window_period():
         )
 
 
+def test_dispatch_shard_maps_over_data_axis():
+    """The multi-device dispatch (dp>1 pods) partitions W over 'data' and runs
+    the kernel per shard; validated on a virtual CPU mesh in interpret mode."""
+    from visper_lm_tpu.parallel.mesh import make_mesh
+    from visper_lm_tpu.ops.window_attention import window_attention
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    rng = np.random.default_rng(2)
+    w, h, n, d, nw = 16, 2, 16, 8, 4     # dp=2: one image's window run per shard
+    q = jnp.asarray(rng.normal(size=(w, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(w, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(w, h, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+    mask = jnp.asarray(rng.choice([0.0, -100.0], size=(nw, n, n)), jnp.float32)
+
+    ref = window_attention_xla(q, k, v, bias, mask, d ** -0.5)
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    with mesh:
+        got = window_attention(
+            q, k, v, bias, mask, use_pallas=True, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_swin_forward_unchanged_on_cpu():
     """swin_forward still routes through the XLA path on CPU (dispatch default)."""
     from visper_lm_tpu.models.teachers.swin import SwinConfig, init_swin, swin_forward

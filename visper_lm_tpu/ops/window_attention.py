@@ -140,6 +140,7 @@ def window_attention(
     *,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Dispatch: Pallas on TPU (shard_mapped under a multi-device mesh), XLA else.
 
@@ -170,15 +171,20 @@ def window_attention(
         in_specs = (qspec, qspec, qspec, P(), P()) if mask is not None else (
             qspec, qspec, qspec, P())
         fn = jax.shard_map(
-            functools.partial(_pallas_positional, scale=scale, with_mask=mask is not None),
+            functools.partial(
+                _pallas_positional, scale=scale, with_mask=mask is not None,
+                interpret=interpret,
+            ),
             mesh=mesh,
             in_specs=in_specs,
             out_specs=qspec,
             check_vma=False,
         )
         return fn(q, k, v, bias, mask) if mask is not None else fn(q, k, v, bias)
-    return window_attention_pallas(q, k, v, bias, mask, scale)
+    return window_attention_pallas(q, k, v, bias, mask, scale, interpret=interpret)
 
 
-def _pallas_positional(q, k, v, bias, mask=None, *, scale, with_mask):
-    return window_attention_pallas(q, k, v, bias, mask if with_mask else None, scale)
+def _pallas_positional(q, k, v, bias, mask=None, *, scale, with_mask, interpret=False):
+    return window_attention_pallas(
+        q, k, v, bias, mask if with_mask else None, scale, interpret=interpret
+    )
