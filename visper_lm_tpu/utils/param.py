@@ -48,6 +48,26 @@ def init_linear(
     return p
 
 
+# w4a16 kernel dispatch: None = auto (Pallas on single-device TPU), True/False
+# force. The Pallas path cannot be GSPMD-partitioned, so it stays off under a
+# multi-device ambient mesh (TP-sharded generation keeps the XLA fallback).
+W4_USE_PALLAS: Optional[bool] = None
+
+
+def _use_w4_kernel(p: Params, x: jax.Array) -> bool:
+    if W4_USE_PALLAS is not None:
+        if not W4_USE_PALLAS:
+            return False
+    elif jax.default_backend() != "tpu":
+        return False
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and getattr(mesh, "size", 0) > 1:
+        return False
+    from visper_lm_tpu.ops.quant_matmul import w4_supported
+
+    return w4_supported(p, x)
+
+
 def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
     if "kernel_q8" in p:
         # w8a16 inference weights (serving): int8 kernel with a per-OUTPUT-
@@ -57,6 +77,13 @@ def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
         # approximation beyond the quantization itself.
         y = jnp.dot(x, p["kernel_q8"].astype(x.dtype), precision=precision)
         y = y * p["out_scale"].astype(y.dtype)
+    elif "kernel_q4p" in p and _use_w4_kernel(p, x):
+        # Pallas dequant-matmul: streams the packed bytes and dequantizes in
+        # VMEM (the XLA formulation below materializes the bf16 weights —
+        # measured 5x slower at decode; ops/quant_matmul.py).
+        from visper_lm_tpu.ops.quant_matmul import w4_linear
+
+        return w4_linear(p, x)
     elif "kernel_q4p" in p:
         # w4a16 serving weights: two int4 values NIBBLE-PACKED per int8 byte
         # (the native S4 dtype cannot be transferred under the TPU relay), with
