@@ -97,3 +97,44 @@ def test_dispatch_guard_off_tpu_and_override():
         "q4_scale": jnp.ones((4, 2, 128), jnp.float32),
     }
     assert not w4_supported(stacked, jnp.zeros((2, 256), jnp.bfloat16))
+
+
+@pytest.mark.slow
+def test_generator_decode_with_forced_pallas_dispatch():
+    """Full Generator decode with the Pallas w4 branch engaged (interpret mode)
+    matches the XLA q4 path token-for-token on the tiny model — proves the
+    dispatch composes with jit + the decode layer scan + the lm_head shape."""
+    from visper_lm_tpu.config import tiny_test_vlm
+    from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.ops import quant_matmul
+    from visper_lm_tpu.serve.generate import (
+        GenerationConfig, Generator, left_pad_plans,
+    )
+
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    n_tasks = len(cfg.distill.task_order())
+    plans = [build_splice_plan(
+        [3, 4, 5, IMAGE_TOKEN_INDEX, 6], None, 64,
+        num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=cfg.distill.num_task_tokens, num_tasks=n_tasks)]
+    batch = left_pad_plans(plans, 64)
+    rng = np.random.default_rng(0)
+    batch["images"] = rng.normal(
+        size=(1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+
+    gcfg = GenerationConfig(max_new_tokens=4, weight_quant="int4")
+    ref = Generator(params, cfg, gcfg, 1, 64).generate(dict(batch))
+
+    old_force, old_interp = param_lib.W4_USE_PALLAS, quant_matmul.INTERPRET
+    try:
+        param_lib.W4_USE_PALLAS = True
+        quant_matmul.INTERPRET = True
+        got = Generator(params, cfg, gcfg, 1, 64).generate(dict(batch))
+    finally:
+        param_lib.W4_USE_PALLAS = old_force
+        quant_matmul.INTERPRET = old_interp
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

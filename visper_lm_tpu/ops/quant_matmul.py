@@ -138,6 +138,11 @@ def w4_matmul(
     return out
 
 
+# Force interpret mode for the dispatched kernel (CPU testing of the full
+# decode path with the Pallas branch engaged).
+INTERPRET: bool = False
+
+
 def w4_linear(
     p, x: jax.Array, *, interpret: bool = False
 ) -> jax.Array:
@@ -153,7 +158,9 @@ def w4_linear(
     lead = x.shape[:-1]
     x2 = x.reshape(-1, din)
     group = din // scales.shape[0]
-    y = w4_matmul(x2, packed, scales, group=group, interpret=interpret)
+    y = w4_matmul(
+        x2, packed, scales, group=group, interpret=interpret or INTERPRET
+    )
     y = y.reshape(*lead, packed.shape[1])
     if "bias" in p:
         y = y + p["bias"]
