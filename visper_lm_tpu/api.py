@@ -226,7 +226,23 @@ class VisperModel:
     def _generator(self, gen_cfg: GenerationConfig, batch_size: int, pad_to: int):
         """Generators are cached by (shapes, config): a fresh Generator per
         call would re-trace the jitted prefill/step and re-quantize weights."""
-        key = (batch_size, pad_to, dataclasses.astuple(gen_cfg))
+        def _hashable(v):
+            # content-keyed for plain config values; identity-keyed for array
+            # payloads (e.g. a calibration act-RMS dict — pass the same object
+            # to share the cached Generator)
+            if isinstance(v, (int, float, str, bool, type(None))):
+                return v
+            if isinstance(v, (list, tuple)):
+                return tuple(_hashable(u) for u in v)
+            if isinstance(v, dict):
+                return tuple(sorted((k, id(u)) for k, u in v.items()))
+            return id(v)
+
+        cfg_parts = tuple(
+            _hashable(getattr(gen_cfg, f.name))
+            for f in dataclasses.fields(gen_cfg)
+        )
+        key = (batch_size, pad_to, cfg_parts)
         gen = self._gen_cache.get(key)
         if gen is None:
             params = self.params

@@ -165,11 +165,22 @@ def _block_forward(
     use_pallas: Optional[bool],
     kv_starts: Optional[jax.Array] = None,
     quant_saves: bool = False,
+    stats_out: Optional[list] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, t, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    def _record(**sites):
+        # mean-square per input channel, for AWQ-style int4 calibration
+        # (serve/calibrate.py); only used in unrolled replay, never under scan
+        if stats_out is not None:
+            stats_out.append({
+                k: jnp.mean(jnp.square(v.astype(jnp.float32)), axis=(0, 1))
+                for k, v in sites.items()
+            })
+
     x = rmsnorm(block["attn_norm"], h, cfg.norm_eps)
+    _record(q_proj=x, k_proj=x, v_proj=x)
     q = linear(block["q_proj"], x)
     k = linear(block["k_proj"], x)
     v = linear(block["v_proj"], x)
@@ -235,9 +246,11 @@ def _block_forward(
         )
 
     attn = attn.reshape(b, t, nh * hd)
+    _record(o_proj=attn)
     h = h + linear(block["o_proj"], attn)
 
     x = rmsnorm(block["mlp_norm"], h, cfg.norm_eps)
+    _record(gate_proj=x, up_proj=x)
     # named for the save_mlp/save_qkv_mlp remat policies: with a FROZEN decoder
     # (PT stage) the backward's dx path needs activations only at the nonlinear
     # points — pre-silu gate and up (for d(gate*up)) and q/k/v (for the flash
@@ -258,7 +271,9 @@ def _block_forward(
         gate_pre = checkpoint_name(gate_pre, "mlp_gate")
         up = checkpoint_name(up, "mlp_up")
     gate = jax.nn.silu(gate_pre)
-    h = h + linear(block["down_proj"], gate * up)
+    gu = gate * up
+    _record(down_proj=gu)
+    h = h + linear(block["down_proj"], gu)
     return h, new_cache
 
 

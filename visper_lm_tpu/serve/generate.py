@@ -20,6 +20,7 @@ every prefill, SURVEY.md §3.2 note).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -55,6 +56,10 @@ class GenerationConfig:
     # weight noise — opt-in quality tradeoff). The Generator quantizes its own
     # copy at init.
     weight_quant: object = False
+    # Optional AWQ activation calibration for "int4": the act-RMS dict from
+    # serve.calibrate.decoder_act_rms (keys matching the decoder projections).
+    # Ignored for other weight_quant modes.
+    calibration: object = None
     # unroll the decode layer loop (static weight/cache slices, scheduler-
     # pipelined DMA). Measured on v5e at B8/S1024/int8: 19.23 ms/step vs 18.99
     # scanned — the scan is NOT the decode bottleneck (weight streaming is), so
@@ -129,11 +134,12 @@ class Generator:
                 quantize_linear_weights_int4,
             )
 
-            quantize = (
-                quantize_linear_weights_int4
-                if gen_cfg.weight_quant == "int4"
-                else quantize_linear_weights
-            )
+            if gen_cfg.weight_quant == "int4":
+                quantize = functools.partial(
+                    quantize_linear_weights_int4, act_rms=gen_cfg.calibration
+                )
+            else:
+                quantize = quantize_linear_weights
             self.params = dict(self.params)
             self.params["decoder"] = quantize(self.params["decoder"])
         self._prefill = jax.jit(self._prefill_impl)

@@ -77,14 +77,18 @@ def linear(p: Params, x: jax.Array, precision=None) -> jax.Array:
         # approximation beyond the quantization itself.
         y = jnp.dot(x, p["kernel_q8"].astype(x.dtype), precision=precision)
         y = y * p["out_scale"].astype(y.dtype)
-    elif "kernel_q4p" in p and _use_w4_kernel(p, x):
-        # Pallas dequant-matmul: streams the packed bytes and dequantizes in
-        # VMEM (the XLA formulation below materializes the bf16 weights —
-        # measured 5x slower at decode; ops/quant_matmul.py).
-        from visper_lm_tpu.ops.quant_matmul import w4_linear
-
-        return w4_linear(p, x)
     elif "kernel_q4p" in p:
+        if "q4_in_scale" in p:
+            # AWQ calibration (quantize_linear_weights_int4 act_rms=...): the
+            # weights were pre-scaled per input channel; undo on the activation
+            x = x * p["q4_in_scale"].astype(x.dtype)
+        if _use_w4_kernel(p, x):
+            # Pallas dequant-matmul: streams the packed bytes and dequantizes
+            # in VMEM (the XLA formulation below materializes the bf16
+            # weights — measured 5x slower at decode; ops/quant_matmul.py).
+            from visper_lm_tpu.ops.quant_matmul import w4_linear
+
+            return w4_linear(p, x)
         # w4a16 serving weights: two int4 values NIBBLE-PACKED per int8 byte
         # (the native S4 dtype cannot be transferred under the TPU relay), with
         # GROUP-wise (input-dim groups x output-channel) scales — per-output-
@@ -158,7 +162,12 @@ def quantize_linear_weights(params: Params) -> Params:
     return walk(params)
 
 
-def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
+def quantize_linear_weights_int4(
+    params: Params,
+    group: int = 128,
+    act_rms: Optional[Dict[str, jax.Array]] = None,
+    awq_alpha: float = 0.5,
+) -> Params:
     """GROUP-wise symmetric int4 quantization of every linear 'kernel'.
 
     {kernel} -> {kernel_q4p (nibble-packed int8, (din/2, dout)), q4_scale
@@ -168,6 +177,12 @@ def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
     per 128.. smallest divisor, or stay dense if din < 16. Serving-only: int4
     streams decoder weights at 1/4 the bf16 bandwidth (the measured decode
     bottleneck); accuracy bound guarded by tests/test_serving_quant.py.
+
+    ``act_rms`` (from serve.calibrate.decoder_act_rms): {param_key: rms array
+    matching kernel.shape[:-1]} enables AWQ-style calibration — weight rows are
+    pre-scaled by (rms/gmean)^awq_alpha before quantization so the 4-bit budget
+    concentrates on the high-activation input channels, and the inverse scale
+    is stored as ``q4_in_scale`` for linear() to apply to x at runtime.
     """
 
     @functools.partial(jax.jit, static_argnums=(1,))
@@ -189,7 +204,7 @@ def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
         ).astype(jnp.int8)
         return packed, jnp.squeeze(scale, -2)
 
-    def convert(p):
+    def convert(p, name):
         if not (isinstance(p, dict) and "kernel" in p):
             return None
         w = p["kernel"]
@@ -203,18 +218,31 @@ def quantize_linear_weights_int4(params: Params, group: int = 128) -> Params:
                 break
         if g is None:
             return dict(p)
+        in_scale = None
+        rms = act_rms.get(name) if act_rms else None
+        if rms is not None and tuple(rms.shape) == tuple(w.shape[:-1]):
+            # AWQ: s = (rms/gmean)^alpha, clipped; quantize W*s, run x/s
+            r = jnp.maximum(rms.astype(jnp.float32), 1e-6)
+            gmean = jnp.exp(
+                jnp.mean(jnp.log(r), axis=-1, keepdims=True)
+            )
+            s = jnp.clip((r / gmean) ** awq_alpha, 0.1, 10.0)
+            w = (w.astype(jnp.float32) * s[..., None]).astype(w.dtype)
+            in_scale = 1.0 / s
         q, scale = _quant(w, g)
         out = {"kernel_q4p": q, "q4_scale": scale}
+        if in_scale is not None:
+            out["q4_in_scale"] = in_scale
         if "bias" in p:
             out["bias"] = p["bias"]
         return out
 
-    def walk(tree):
+    def walk(tree, name=None):
         if isinstance(tree, dict):
-            q = convert(tree)
+            q = convert(tree, name)
             if q is not None:
                 return q
-            return {k: walk(v) for k, v in tree.items()}
+            return {k: walk(v, k) for k, v in tree.items()}
         return tree
 
     return walk(params)
