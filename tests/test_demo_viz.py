@@ -305,3 +305,29 @@ def test_pack_teacher_bundles_and_hf_dir_discovery(model, tmp_path):
     dec2 = load_viz_decoders(model, None, str(packed), quiet=True)
     assert "oneformer" in dec2 and "dpt_params" in dec2
     assert dec2["oneformer"]["cfg"].num_queries == 4
+
+
+def test_chat_stream_holds_back_byte_fallback_placeholder(model):
+    """A tokenizer that decodes split multi-byte chars as trailing U+FFFD
+    (byte-fallback semantics): the stream must never emit the placeholder,
+    and everything streamed must be a prefix of the final text."""
+
+    class ByteFallbackTok(FakeTok):
+        def decode(self, ids, skip_special_tokens=False):
+            n = len(ids)
+            return "ab" * (n // 2) + ("�" if n % 2 else "")
+
+    img = Image.new("RGB", (40, 40), (0, 80, 255))
+    old_tok = model.tokenizer
+    chunks = []
+    try:
+        model.tokenizer = ByteFallbackTok()
+        out = model.chat(
+            ["what?"], [img], max_new_tokens=5,
+            stream_callback=chunks.append,
+        )
+    finally:
+        model.tokenizer = old_tok
+    streamed = "".join(chunks)
+    assert "�" not in streamed
+    assert out[0].startswith(streamed)

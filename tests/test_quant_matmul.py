@@ -29,6 +29,7 @@ def _quantized(rng, din, dout, group, bias=True):
         (512, 384, 16, 128),   # multiple groups per block
         (256, 500, 8, 64),     # ragged dout (partial last tile is masked)
         (1024, 320, 1, 128),   # single decode row
+        (512, 256, 384, 128),  # prefill-shaped m: exercises row tiling
     ],
 )
 def test_w4_kernel_matches_xla_dequant(din, dout, m, group):
@@ -40,7 +41,7 @@ def test_w4_kernel_matches_xla_dequant(din, dout, m, group):
     ref = np.asarray(linear(pq, x), np.float32)       # XLA dequant path (CPU)
     got = np.asarray(w4_linear(pq, x, interpret=True), np.float32)
     denom = np.max(np.abs(ref)) + 1e-9
-    assert np.max(np.abs(got - ref)) / denom < 5e-3
+    assert np.max(np.abs(got - ref)) / denom < 1e-2   # bf16 dot rounding
 
 
 def test_w4_kernel_exact_vs_f32_dequant():
@@ -76,7 +77,7 @@ def test_w4_leading_dims_and_bias():
     got = np.asarray(w4_linear(pq, x, interpret=True), np.float32)
     assert got.shape == (2, 3, 192)
     denom = np.max(np.abs(ref)) + 1e-9
-    assert np.max(np.abs(got - ref)) / denom < 5e-3
+    assert np.max(np.abs(got - ref)) / denom < 1e-2   # bf16 dot rounding
 
 
 def test_dispatch_guard_off_tpu_and_override():

@@ -15,6 +15,7 @@ Model-zoo dispatch by name substring (probe / phi / llama) mirrors builder.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -203,25 +204,28 @@ class VisperModel:
             wq = bool(wq)
         return kv, wq
 
-    def _quantized_params(self, mode="int8"):
+    def _quantized_params(self, mode="int8", calibration=None):
         """Serving copy of the decoder weights (w8a16 or w4a16), quantized once
-        per mode and reused across Generators (shape buckets)."""
+        per (mode, calibration) and reused across Generators (shape buckets)."""
         if not isinstance(self._serving_params, dict):
             self._serving_params = {}
-        if mode not in self._serving_params:
+        key = mode if calibration is None else (mode, id(calibration))
+        if key not in self._serving_params:
             from visper_lm_tpu.utils.param import (
                 quantize_linear_weights,
                 quantize_linear_weights_int4,
             )
 
-            quantize = (
-                quantize_linear_weights_int4 if mode == "int4"
-                else quantize_linear_weights
-            )
+            if mode == "int4":
+                quantize = functools.partial(
+                    quantize_linear_weights_int4, act_rms=calibration
+                )
+            else:
+                quantize = quantize_linear_weights
             p = dict(self.params)
             p["decoder"] = quantize(p["decoder"])
-            self._serving_params[mode] = p
-        return self._serving_params[mode]
+            self._serving_params[key] = p
+        return self._serving_params[key]
 
     def _generator(self, gen_cfg: GenerationConfig, batch_size: int, pad_to: int):
         """Generators are cached by (shapes, config): a fresh Generator per
@@ -244,17 +248,26 @@ class VisperModel:
         )
         key = (batch_size, pad_to, cfg_parts)
         gen = self._gen_cache.get(key)
+        if gen is not None:
+            # LRU refresh: each cached Generator holds jitted prefill/decode
+            # executables, so the cache is bounded (varied max_new_tokens or
+            # pad buckets would otherwise accumulate compiled state forever)
+            self._gen_cache.pop(key)
+            self._gen_cache[key] = gen
         if gen is None:
             params = self.params
             if gen_cfg.weight_quant:
                 params = self._quantized_params(
-                    "int4" if gen_cfg.weight_quant == "int4" else "int8"
+                    "int4" if gen_cfg.weight_quant == "int4" else "int8",
+                    calibration=gen_cfg.calibration,
                 )
                 # params already carry kernel_q8; linear() auto-detects, so the
                 # Generator must not quantize again
                 gen_cfg = dataclasses.replace(gen_cfg, weight_quant=False)
             gen = Generator(params, self.cfg, gen_cfg, batch_size, pad_to)
             self._gen_cache[key] = gen
+            while len(self._gen_cache) > 8:
+                self._gen_cache.pop(next(iter(self._gen_cache)))
         return gen
 
     # ------------------------------------------------------------------ load
@@ -453,7 +466,7 @@ class VisperModel:
         if stream_callback is not None:
             # smaller device chunks -> lower first-token/update latency
             gen_cfg = dataclasses.replace(gen_cfg, decode_chunk=4)
-            state = {"ids": [], "emitted": 0, "done": False}
+            state = {"ids": [], "emitted": "", "done": False}
             eos_set = set(eos_ids)
             stops = tuple(self.stop_strings())
 
@@ -473,9 +486,20 @@ class VisperModel:
                     if idx >= 0:
                         text = text[:idx]
                         state["done"] = True
-                if len(text) > state["emitted"]:
-                    stream_callback(text[state["emitted"]:])
-                    state["emitted"] = len(text)
+                if not state["done"]:
+                    # hold back trailing replacement chars: byte-fallback
+                    # tokenizers decode a split multi-byte char as U+FFFD
+                    # until its remaining bytes arrive — emitting it would
+                    # bake the placeholder into the stream
+                    text = text.rstrip("�")
+                # emit only append-extensions of what was already streamed;
+                # if the decode rewrote earlier characters, wait for it to
+                # stabilize (the non-streamed return value is always exact)
+                if len(text) > len(state["emitted"]) and text.startswith(
+                    state["emitted"]
+                ):
+                    stream_callback(text[len(state["emitted"]):])
+                    state["emitted"] = text
 
         gen = self._generator(gen_cfg, len(prompts), pad_to)
         out = gen.generate(batch, tokenizer=self.tokenizer, streamer=streamer)

@@ -143,6 +143,7 @@ def load_viz_decoders(model, model_dir=None, teachers_dir=None, quiet=False):
                     "swin_params": bundle["swin"],
                     "swin_cfg": swin_cfg,
                     "task_inputs": np.zeros((1, dec_cfg.task_seq_len), np.int32),
+                    "image_size": int(cfg_json.get("image_size", 768)),
                 }
                 note("seg: OneFormer loaded from teachers dir (npz bundle)")
         except Exception as e:  # noqa: BLE001

@@ -47,7 +47,7 @@ def _w4_kernel(
     xe_ref, xo_ref, pk_ref, s_ref, out_ref, acc,
     *, n_groups: int, gph: int, n_din_blocks: int,
 ):
-    i = pl.program_id(1)
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
@@ -110,7 +110,11 @@ def w4_matmul(
     bdout = min(block_out, dout)
     n_groups = bdinh // gph
     n_din_blocks = dinh // bdinh
-    grid = (pl.cdiv(dout, bdout), n_din_blocks)          # i (din) innermost
+    # tile rows too: decode is m=B (one tile), but the SAME quantized params
+    # serve prefill where m = B*T — unblocked rows would put an (m, bdout) f32
+    # accumulator plus (m, bdinh) x tiles in VMEM and blow the ~16 MiB budget
+    bm = min(m, 256)
+    grid = (pl.cdiv(m, bm), pl.cdiv(dout, bdout), n_din_blocks)
 
     xe = x[:, 0::2]
     xo = x[:, 1::2]
@@ -122,16 +126,16 @@ def w4_matmul(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bdinh), lambda j, i: (0, i)),
-            pl.BlockSpec((m, bdinh), lambda j, i: (0, i)),
-            pl.BlockSpec((bdinh, bdout), lambda j, i: (i, j)),
-            pl.BlockSpec((n_groups, bdout), lambda j, i: (i, j)),
+            pl.BlockSpec((bm, bdinh), lambda r, j, i: (r, i)),
+            pl.BlockSpec((bm, bdinh), lambda r, j, i: (r, i)),
+            pl.BlockSpec((bdinh, bdout), lambda r, j, i: (i, j)),
+            pl.BlockSpec((n_groups, bdout), lambda r, j, i: (i, j)),
         ],
-        out_specs=pl.BlockSpec((m, bdout), lambda j, i: (0, j)),
+        out_specs=pl.BlockSpec((bm, bdout), lambda r, j, i: (r, j)),
         out_shape=jax.ShapeDtypeStruct((m, dout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, bdout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bdout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(xe, xo, packed, scales)

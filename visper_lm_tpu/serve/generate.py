@@ -321,7 +321,9 @@ def greedy_decode_text(
         eos_token_ids=tuple(eos_token_ids),
         stop_strings=tuple(stop_strings),
         kv_quant=bool(kv_quant),
-        weight_quant=bool(weight_quant),
+        # keep "int4" intact — bool() would silently downgrade it to w8a16
+        weight_quant=weight_quant if isinstance(weight_quant, str)
+        else bool(weight_quant),
     )
     gen = Generator(params, cfg, gen_cfg, len(plans), pad_to)
     out = gen.generate(batch, tokenizer=tokenizer)
