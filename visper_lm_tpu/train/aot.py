@@ -95,7 +95,6 @@ def lower_flagship_step(
     """Lower the full distill train step with abstract (never materialized)
     arguments. Returns the jax Lowered object."""
     import jax
-    import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from visper_lm_tpu.models.vlm import init_vlm
@@ -103,9 +102,9 @@ def lower_flagship_step(
     from visper_lm_tpu.train.train_step import (
         TrainState,
         make_loss_fn,
+        make_step_fn,
         plan_train_shardings,
     )
-    from visper_lm_tpu.utils.param import merge_params
 
     opt_kwargs = dict(learning_rate=learning_rate, total_steps=1000,
                       stage="pretrain")
@@ -158,34 +157,9 @@ def lower_flagship_step(
     base_loss_fn = make_loss_fn(
         cfg, teacher_fn=teacher_fn, remat=remat, use_pallas=use_pallas
     )
-
-    def loss_fn(trainable_params, frozen_params, tp, batch):
-        full = merge_params(trainable_params, frozen_params)
-        return base_loss_fn(full, batch, tp)
-
-    # stage pinned-host moments to device inside the step (see train_step.py)
-    opt_to_device = None
-    if any(
-        getattr(ns, "memory_kind", None) == "pinned_host"
-        for ns in jax.tree_util.tree_leaves(opt_sh)
-    ):
-        opt_to_device = jax.tree_util.tree_map(
-            lambda ns: ns.with_memory_kind("device"), opt_sh
-        )
-
-    def step_fn(state, frozen_params, tp, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen_params, tp, batch
-        )
-        opt_state = state.opt_state
-        if opt_to_device is not None:
-            opt_state = jax.device_put(opt_state, opt_to_device)
-        updates, new_opt = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(
-            params=new_params, opt_state=new_opt, step=state.step + 1
-        ), metrics
+    # the EXACT step body training runs (loss merge, pinned-host moment
+    # staging, tx.update) — shared so the compiled fit can't drift from it
+    step_fn = make_step_fn(tx, base_loss_fn, opt_sh)
 
     def attach(shapes, shardings):
         return jax.tree_util.tree_map(

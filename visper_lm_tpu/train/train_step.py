@@ -209,6 +209,49 @@ def plan_train_shardings(
     )
 
 
+def make_step_fn(tx, base_loss_fn, opt_shardings):
+    """The pure train-step body: grads -> (pinned-host moment staging) ->
+    tx.update -> new TrainState. Shared by make_train_step (live training) and
+    train/aot.lower_flagship_step (the 8B fit proof) so the compiled memory
+    numbers in docs/Scale8B.md can never drift from what training actually
+    runs. Signature: step_fn(state, frozen_params, teacher_params, batch)."""
+    import optax
+
+    from visper_lm_tpu.utils.param import merge_params
+
+    def loss_fn(trainable_params, frozen_params, tp, batch):
+        full = merge_params(trainable_params, frozen_params)
+        return base_loss_fn(full, batch, tp)
+
+    # pinned-host offloaded moments must be staged to device memory inside the
+    # step before tx.update touches them (XLA memories forbids mixed-space
+    # math); the jit's out_shardings move the updated moments back to host.
+    opt_to_device = None
+    if any(
+        getattr(ns, "memory_kind", None) == "pinned_host"
+        for ns in jax.tree_util.tree_leaves(opt_shardings)
+    ):
+        opt_to_device = jax.tree_util.tree_map(
+            lambda ns: ns.with_memory_kind("device"), opt_shardings
+        )
+
+    def step_fn(state: TrainState, frozen_params, tp, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen_params, tp, batch
+        )
+        opt_state = state.opt_state
+        if opt_to_device is not None:
+            opt_state = jax.device_put(opt_state, opt_to_device)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        ), metrics
+
+    return step_fn
+
+
 def make_train_step(
     cfg: VLMConfig,
     opt_cfg: OptimizerConfig,
@@ -234,8 +277,6 @@ def make_train_step(
     requires_grad_(False) under ZeRO. The returned step signature is
     step(state, frozen_params, batch) -> (state, metrics); state is donated.
     """
-    from visper_lm_tpu.utils.param import merge_params
-
     (
         mask, tx, trainable, frozen, opt_shape,
         train_shardings, frozen_shardings, opt_shardings, state_shardings,
@@ -253,10 +294,6 @@ def make_train_step(
         remat_policy=remat_policy,
         use_pallas=use_pallas,
     )
-
-    def loss_fn(trainable_params, frozen_params, tp, batch):
-        full = merge_params(trainable_params, frozen_params)
-        return base_loss_fn(full, batch, tp)
 
     trainable = jax.device_put(trainable, train_shardings)
     # device_put aliases arrays that are already correctly placed; copy so the
@@ -284,34 +321,9 @@ def make_train_step(
         step=jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
     )
 
-    # pinned-host offloaded moments must be staged to device memory inside the
-    # step before tx.update touches them (XLA memories forbids mixed-space
-    # math); out_shardings moves the updated moments back to host.
-    opt_to_device = None
-    if any(
-        getattr(ns, "memory_kind", None) == "pinned_host"
-        for ns in jax.tree_util.tree_leaves(opt_shardings)
-    ):
-        opt_to_device = jax.tree_util.tree_map(
-            lambda ns: ns.with_memory_kind("device"), opt_shardings
-        )
-
     # teacher params are explicit jit args (NOT closures): closed-over arrays can be
     # inlined into the serialized HLO, which explodes compile payloads/times.
-    def step_fn(state: TrainState, frozen_params, tp, batch: Dict[str, jax.Array]):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen_params, tp, batch
-        )
-        opt_state = state.opt_state
-        if opt_to_device is not None:
-            opt_state = jax.device_put(opt_state, opt_to_device)
-        updates, new_opt = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = TrainState(
-            params=new_params, opt_state=new_opt, step=state.step + 1
-        )
-        return new_state, metrics
+    step_fn = make_step_fn(tx, base_loss_fn, opt_shardings)
 
     jitted = jax.jit(
         step_fn,
