@@ -192,6 +192,33 @@ def multi_head_attention(
 
     t, s = q.shape[1], k.shape[1]
     head_dim = q.shape[-1]
+
+    # One-knob sequence parallelism: a mesh built with make_mesh(sp>1) carries
+    # a 'seq' axis, and eligible self-attention routes through the Ulysses
+    # all-to-all exchange (parallel/sequence.py) — activations stay
+    # seq-sharded outside attention, heads-sharded inside it.
+    mesh = _ambient_mesh()
+    if mesh is not None:
+        from visper_lm_tpu.parallel.mesh import SEQ_AXIS
+
+        sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(SEQ_AXIS, 1)
+        if (
+            sp > 1
+            and t == s
+            and isinstance(q_offset, int)
+            and q_offset == 0
+            and t % sp == 0
+            and q.shape[2] % sp == 0
+            and k.shape[2] % sp == 0
+        ):
+            from jax.ad_checkpoint import checkpoint_name
+            from visper_lm_tpu.parallel.sequence import ulysses_attention
+
+            out = ulysses_attention(
+                q, k, v, mesh=mesh, causal=causal, kv_lengths=kv_lengths,
+                kv_starts=kv_starts, scale=scale, use_pallas=use_pallas,
+            )
+            return checkpoint_name(out, "flash_out")
     pallas_ok = (
         use_pallas
         and t == s

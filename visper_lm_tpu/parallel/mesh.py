@@ -21,28 +21,38 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    sp: int = 1,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh. dp defaults to n_devices // tp."""
+    """Create a ('data', 'model') mesh — ('data', 'seq', 'model') when sp > 1
+    (Ulysses sequence parallelism, parallel/sequence.py). dp defaults to
+    n_devices // (sp * tp)."""
     if devices is None:
         devices = jax.devices()
     if dp is None:
-        dp = len(devices) // tp
-    devices = list(devices)[: dp * tp]
+        dp = len(devices) // (tp * sp)
+    devices = list(devices)[: dp * tp * sp]
     n = len(devices)
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != available devices({n})"
+    assert dp * tp * sp == n, (
+        f"dp({dp}) * sp({sp}) * tp({tp}) != available devices({n})"
+    )
+    shape = (dp, sp, tp) if sp > 1 else (dp, tp)
+    axes = (DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if sp > 1 else (
+        DATA_AXIS, MODEL_AXIS
+    )
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
-        dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
 
 
 def single_device_mesh() -> Mesh:
