@@ -139,3 +139,25 @@ def test_generator_decode_with_forced_pallas_dispatch():
         param_lib.W4_USE_PALLAS = old_force
         quant_matmul.INTERPRET = old_interp
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dispatch_guard_multidevice_mesh():
+    """Under a multi-device `with mesh:` the kernel must NOT engage even when
+    forced on (GSPMD cannot partition Mosaic calls); get_abstract_mesh does
+    not see the legacy context manager — the guard uses the physical mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from visper_lm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    pq = _quantized(rng, 256, 128, 128)
+    x = jnp.asarray(rng.normal(size=(2, 256)), jnp.bfloat16)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    old = param_lib.W4_USE_PALLAS
+    try:
+        param_lib.W4_USE_PALLAS = True
+        assert param_lib._use_w4_kernel(pq, x)          # single-device: on
+        with mesh:
+            assert not param_lib._use_w4_kernel(pq, x)  # multi-device: off
+    finally:
+        param_lib.W4_USE_PALLAS = old

@@ -60,8 +60,13 @@ def _use_w4_kernel(p: Params, x: jax.Array) -> bool:
             return False
     elif jax.default_backend() != "tpu":
         return False
-    mesh = jax.sharding.get_abstract_mesh()
-    if mesh is not None and getattr(mesh, "size", 0) > 1:
+    # the ambient PHYSICAL mesh (`with mesh:`) — get_abstract_mesh() does NOT
+    # reflect the legacy context manager and would let the kernel engage under
+    # a multi-device mesh, where GSPMD cannot partition Mosaic calls
+    from visper_lm_tpu.ops.attention import _ambient_mesh
+
+    mesh = _ambient_mesh()
+    if mesh is not None and mesh.size > 1:
         return False
     from visper_lm_tpu.ops.quant_matmul import w4_supported
 
