@@ -12,7 +12,7 @@ import pytest
 
 from visper_lm_tpu.ops.attention import mha_xla
 from visper_lm_tpu.parallel.mesh import make_mesh
-from visper_lm_tpu.parallel.sequence import ulysses_attention
+from visper_lm_tpu.parallel.sequence import ring_attention, ulysses_attention
 
 
 def _inputs(rng, b, t, nq, nkv, h):
@@ -92,6 +92,76 @@ def test_head_divisibility_guard():
     mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
     with pytest.raises(ValueError):
         ulysses_attention(q, k, v, mesh=mesh, use_pallas=False)
+
+
+@pytest.mark.parametrize("dp,sp,nq,nkv", [
+    (1, 4, 4, 4),    # MHA
+    (1, 4, 4, 2),    # GQA: nkv=2 < sp=4 — Ulysses ineligible, ring's case
+    (2, 2, 4, 1),    # MQA under dp
+    (1, 8, 2, 1),    # sp beyond the head count entirely
+])
+def test_ring_matches_single_device(dp, sp, nq, nkv):
+    if len(jax.devices()) < dp * sp:
+        pytest.skip("needs more devices")
+    rng = np.random.default_rng(10)
+    b, t, h = 2 * dp, 32, 16
+    q, k, v = _inputs(rng, b, t, nq, nkv, h)
+    kv_lengths = jnp.asarray([t] * (b - 1) + [t - 5], jnp.int32)
+    kv_starts = jnp.asarray([0] * (b - 1) + [3], jnp.int32)
+
+    ref = mha_xla(q, k, v, causal=True, kv_lengths=kv_lengths,
+                  kv_starts=kv_starts)
+    mesh = make_mesh(dp=dp, sp=sp, tp=1, devices=jax.devices()[: dp * sp])
+    with mesh:
+        got = ring_attention(
+            q, k, v, mesh=mesh, causal=True, kv_lengths=kv_lengths,
+            kv_starts=kv_starts,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ring_gradients_match():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rng = np.random.default_rng(11)
+    b, t, nq, nkv, h = 2, 32, 4, 2, 16
+    q, k, v = _inputs(rng, b, t, nq, nkv, h)
+    mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+
+    def loss_sp(q, k, v):
+        out = ring_attention(q, k, v, mesh=mesh, causal=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_xla(q, k, v, causal=True)))
+
+    with mesh:
+        g_sp = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_sp, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_dispatch_routes_gqa_to_ring():
+    """multi_head_attention under an sp mesh with nkv % sp != 0 must still be
+    sequence-parallel (via the ring), not silently fall back to replicated."""
+    from visper_lm_tpu.ops.attention import multi_head_attention
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rng = np.random.default_rng(12)
+    q, k, v = _inputs(rng, 2, 32, 4, 2, 16)   # nkv=2, sp=4
+    ref = mha_xla(q, k, v, causal=True)
+    mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+    with mesh:
+        got = multi_head_attention(q, k, v, causal=True, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
 
 
 def test_decoder_forward_under_sp_mesh_matches_single_device():

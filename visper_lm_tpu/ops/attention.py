@@ -208,16 +208,25 @@ def multi_head_attention(
             and isinstance(q_offset, int)
             and q_offset == 0
             and t % sp == 0
-            and q.shape[2] % sp == 0
-            and k.shape[2] % sp == 0
         ):
             from jax.ad_checkpoint import checkpoint_name
-            from visper_lm_tpu.parallel.sequence import ulysses_attention
 
-            out = ulysses_attention(
-                q, k, v, mesh=mesh, causal=causal, kv_lengths=kv_lengths,
-                kv_starts=kv_starts, scale=scale, use_pallas=use_pallas,
-            )
+            if q.shape[2] % sp == 0 and k.shape[2] % sp == 0:
+                from visper_lm_tpu.parallel.sequence import ulysses_attention
+
+                out = ulysses_attention(
+                    q, k, v, mesh=mesh, causal=causal, kv_lengths=kv_lengths,
+                    kv_starts=kv_starts, scale=scale, use_pallas=use_pallas,
+                )
+            else:
+                # heads don't divide sp (e.g. GQA with few kv heads): the ring
+                # keeps all heads local and circulates K/V blocks instead.
+                from visper_lm_tpu.parallel.sequence import ring_attention
+
+                out = ring_attention(
+                    q, k, v, mesh=mesh, causal=causal, kv_lengths=kv_lengths,
+                    kv_starts=kv_starts, scale=scale,
+                )
             return checkpoint_name(out, "flash_out")
     pallas_ok = (
         use_pallas
