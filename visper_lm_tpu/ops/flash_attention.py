@@ -284,26 +284,36 @@ def _recompute_p(q, k, lse_col, scale, q_start, k_start, bq, bk, causal,
     return p
 
 
-def _kv_major_causal_pairs(nq_blk: int, nk_blk: int, bq: int, bk: int):
-    """kv-major (kj, qi) pairs covering only q blocks at/below the causal diagonal.
+def _kv_major_group_pairs(nq_blk: int, nk_blk: int, bq: int, bk: int, g: int):
+    """kv-head-major (kj, gi, qi) triples for the dk/dv kernel.
 
-    Mirror of _causal_pairs for the dk/dv kernel, whose accumulator lives at a kv
-    block: for each kv block only the q blocks its columns can attend from are
-    visited. Returns (qi_of, kj_of, last_of); last_of marks each kv block's final
-    q step.
+    The dk/dv accumulator lives at a kv block OF A KV HEAD: for each kv block,
+    every query sub-head gi of the GQA group and every q block at/below the
+    causal diagonal is visited while the accumulator stays resident in VMEM.
+    This writes dk/dv once per KV head (B, Nkv, S, H) in the input dtype —
+    the query-head-major alternative materializes G× that in f32 and pays an
+    XLA reshape-reduce pass over it afterwards.
+
+    Returns (qi_of, kj_of, gi_of, first_of, last_of); first/last mark each kv
+    block's accumulation boundaries.
     """
     import numpy as _np
 
-    qi_of, kj_of, last_of = [], [], []
+    qi_of, kj_of, gi_of, first_of, last_of = [], [], [], [], []
     for kj in range(nk_blk):
         qi_min = (kj * bk) // bq
-        for qi in range(qi_min, nq_blk):
-            qi_of.append(qi)
-            kj_of.append(kj)
-            last_of.append(1 if qi == nq_blk - 1 else 0)
+        for gi in range(g):
+            for qi in range(qi_min, nq_blk):
+                qi_of.append(qi)
+                kj_of.append(kj)
+                gi_of.append(gi)
+                first_of.append(1 if (gi == 0 and qi == qi_min) else 0)
+                last_of.append(1 if (gi == g - 1 and qi == nq_blk - 1) else 0)
     return (
         _np.asarray(qi_of, _np.int32),
         _np.asarray(kj_of, _np.int32),
+        _np.asarray(gi_of, _np.int32),
+        _np.asarray(first_of, _np.int32),
         _np.asarray(last_of, _np.int32),
     )
 
@@ -365,22 +375,26 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool, g: int,
-    use_kvstart: bool = False, qi_ref=None, kj_ref=None, last_ref=None,
+    *, scale: float, causal: bool, bq: int, bk: int, use_kvlen: bool,
+    nq_blk: int, use_kvstart: bool = False, qi_ref=None, kj_ref=None,
+    first_ref=None, last_ref=None,
 ):
+    # Grid dim 1 is the KV head; the index maps pick the query sub-head, so the
+    # kernel itself never sees gi. dk/dv accumulate across ALL (gi, qi) visits
+    # of a kv block in one VMEM scratch and are written once per kv head.
     b = pl.program_id(0)
     if qi_ref is not None:
         p_idx = pl.program_id(2)
         qi = qi_ref[p_idx]
         kj = kj_ref[p_idx]
+        is_first = first_ref[p_idx] == 1
         is_last = last_ref[p_idx] == 1
-        # kv-major pairs: a kv block's first visited q block sits on the diagonal
-        is_first = qi == (kj * bk) // bq
     else:
         kj = pl.program_id(2)
-        qi = pl.program_id(3)
-        is_last = qi == pl.num_programs(3) - 1
-        is_first = qi == 0
+        p3 = pl.program_id(3)                 # gi * nq_blk + qi
+        qi = p3 % nq_blk
+        is_first = p3 == 0
+        is_last = p3 == pl.num_programs(3) - 1
 
     @pl.when(is_first)
     def _init():
@@ -415,8 +429,6 @@ def _bwd_dkv_kernel(
 
     @pl.when(is_last)
     def _finalize():
-        # dk/dv are per QUERY head here; the caller sums groups of G query heads
-        # into each kv head (cheap XLA reshape-reduce).
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
@@ -507,40 +519,47 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
         interpret=interpret,
     )(*dq_scalars, q, k, v, do, lse, delta)
 
+    nq_blk = t // bq_
     if squash:
-        dkv_pairs = _kv_major_causal_pairs(t // bq_, s // bk_, bq_, bk_)
-        dkv_grid = (b, nq, len(dkv_pairs[0]))
+        dkv_pairs = _kv_major_group_pairs(nq_blk, s // bk_, bq_, bk_, g)
+        dkv_grid = (b, nkv, len(dkv_pairs[0]))
 
-        def dkv_kernel(kvlen_ref, kvstart_ref, qi_ref, kj_ref, last_ref, *args):
+        def dkv_kernel(kvlen_ref, kvstart_ref, qi_ref, kj_ref, gi_ref,
+                       first_ref, last_ref, *args):
             return _bwd_dkv_kernel(
-                kvlen_ref, kvstart_ref, *args, **common, g=g,
-                qi_ref=qi_ref, kj_ref=kj_ref, last_ref=last_ref,
+                kvlen_ref, kvstart_ref, *args, **common, nq_blk=nq_blk,
+                qi_ref=qi_ref, kj_ref=kj_ref, first_ref=first_ref,
+                last_ref=last_ref,
             )
 
-        dkv_qmap, dkv_kvmap = dq_qmap, dq_kvmap
+        def dkv_qmap(b_, h_, p, kvlen, kvst, qio, kjo, gio, firsto, lasto):
+            return (b_, h_ * g + gio[p], qio[p], 0)
 
-        def dkv_outmap(b_, h_, p, kvlen, kvst, qio, kjo, lasto):
+        def dkv_kvmap(b_, h_, p, kvlen, kvst, qio, kjo, gio, firsto, lasto):
+            return (b_, h_, kjo[p], 0)
+
+        def dkv_outmap(b_, h_, p, kvlen, kvst, qio, kjo, gio, firsto, lasto):
             return (b_, h_, kjo[p], 0)
 
         dkv_scalars = (kvlen, kvstart) + tuple(jnp.asarray(a) for a in dkv_pairs)
-        dkv_nscalar = 5
+        dkv_nscalar = 7
     else:
-        dkv_grid = (b, nq, s // bk_, t // bq_)
-        dkv_kernel = functools.partial(_bwd_dkv_kernel, **common, g=g)
+        dkv_grid = (b, nkv, s // bk_, g * nq_blk)
+        dkv_kernel = functools.partial(_bwd_dkv_kernel, **common, nq_blk=nq_blk)
 
-        def dkv_qmap(b_, h_, kj, qi, *refs):
-            return (b_, h_, qi, 0)
+        def dkv_qmap(b_, h_, kj, p, *refs):
+            return (b_, h_ * g + p // nq_blk, p % nq_blk, 0)
 
-        def dkv_kvmap(b_, h_, kj, qi, *refs):
-            return (b_, h_ // g, kj, 0)
+        def dkv_kvmap(b_, h_, kj, p, *refs):
+            return (b_, h_, kj, 0)
 
-        def dkv_outmap(b_, h_, kj, qi, *refs):
+        def dkv_outmap(b_, h_, kj, p, *refs):
             return (b_, h_, kj, 0)
 
         dkv_scalars = (kvlen, kvstart)
         dkv_nscalar = 2
 
-    dk_per_qh, dv_per_qh = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=dkv_nscalar,
@@ -563,8 +582,8 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, nq, s, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, s, h), k.dtype),
+            jax.ShapeDtypeStruct((b, nkv, s, h), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
@@ -573,10 +592,6 @@ def _bwd(res, grads, *, causal: bool, scale: float, bq: int, bk: int, interpret:
         ),
         interpret=interpret,
     )(*dkv_scalars, q, k, v, do, lse, delta)
-
-    # collapse query-head groups onto kv heads
-    dk = dk_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(k.dtype)
-    dv = dv_per_qh.reshape(b, nkv, g, s, h).sum(axis=2).astype(v.dtype)
 
     return dq, dk, dv, None, None
 
