@@ -503,7 +503,12 @@ def decoder_forward(
         # segment-boundary carries.
         taps = tuple(by_layer[l] for l in tap_layers)
     else:
-        h, _ = jax.lax.scan(body, inputs_embeds, params["blocks"])
+        h = _maybe_pipelined_stack(
+            params, cfg, inputs_embeds, cos, sin, kv_lengths, kv_starts,
+            q_offset, use_pallas, quant_saves, remat, remat_policy,
+        )
+        if h is None:
+            h, _ = jax.lax.scan(body, inputs_embeds, params["blocks"])
         taps = None
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
@@ -516,6 +521,58 @@ def decoder_forward(
         out["logits"] = logits.astype(jnp.float32)
     out["taps"] = taps if num_taps > 0 else None
     return out
+
+
+def _maybe_pipelined_stack(
+    params, cfg, inputs_embeds, cos, sin, kv_lengths, kv_starts, q_offset,
+    use_pallas, quant_saves, remat, remat_policy,
+):
+    """Route the layer stack through GPipe pipelining when the ambient mesh
+    carries a 'pipe' axis (parallel/pipeline.py); None = not eligible, caller
+    runs the plain scan. One knob, like the 'seq' routing in ops/attention."""
+    from visper_lm_tpu.ops.attention import _ambient_mesh
+    from visper_lm_tpu.parallel.mesh import PIPE_AXIS
+
+    mesh = _ambient_mesh()
+    if mesh is None:
+        return None
+    pipe = dict(zip(mesh.axis_names, mesh.devices.shape)).get(PIPE_AXIS, 1)
+    b = inputs_embeds.shape[0]
+    if (
+        pipe <= 1
+        or cfg.num_layers % pipe
+        or b % pipe
+        or not isinstance(q_offset, int)
+    ):
+        return None
+    from visper_lm_tpu.parallel.pipeline import pipeline_scan
+
+    # smallest microbatches ≤ 4·stages: bubble fraction (S-1)/(M+S-1) shrinks
+    # with M, while too-small microbatches starve the MXU
+    n_micro = pipe
+    for m in range(min(b, 4 * pipe), pipe, -1):
+        if b % m == 0:
+            n_micro = m
+            break
+
+    def pipe_block(block, hh, args):
+        hh, _ = _block_forward(
+            block, cfg, hh, args["cos"], args["sin"], args["kv_lengths"],
+            q_offset, None, use_pallas, args["kv_starts"],
+            quant_saves=quant_saves,
+        )
+        return hh
+
+    if remat:
+        pipe_block = jax.checkpoint(
+            pipe_block, prevent_cse=False, policy=_remat_policy(remat_policy)
+        )
+    return pipeline_scan(
+        pipe_block, params["blocks"], inputs_embeds,
+        {"cos": cos, "sin": sin, "kv_lengths": kv_lengths,
+         "kv_starts": kv_starts},
+        mesh=mesh, n_micro=n_micro,
+    )
 
 
 def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:

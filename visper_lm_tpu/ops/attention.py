@@ -122,6 +122,16 @@ def _ambient_mesh():
     return None
 
 
+def _manual_axes():
+    """Mesh axes already bound manual by an enclosing shard_map (e.g. the
+    'pipe' stage bodies in parallel/pipeline.py); () outside one."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        return tuple(getattr(am, "manual_axes", ()) or ())
+    except Exception:
+        return ()
+
+
 def _shard_mapped_flash(mesh, q, k, v, *, causal, kv_lengths, kv_starts, scale):
     """flash_attention wrapped in shard_map for a ('data','model') mesh.
 
@@ -198,6 +208,20 @@ def multi_head_attention(
     # all-to-all exchange (parallel/sequence.py) — activations stay
     # seq-sharded outside attention, heads-sharded inside it.
     mesh = _ambient_mesh()
+    manual = _manual_axes()
+    if mesh is not None and manual:
+        # Inside a shard_map stage body (pipeline parallelism): Shardy cannot
+        # nest another manual shard_map over the remaining axes, so all
+        # mesh-based routing is off. A direct Mosaic call is still safe when
+        # no OTHER mesh axis shards the operands; otherwise fall back to the
+        # XLA path, which the auto axes partition fine.
+        auto = 1
+        for name, sz in zip(mesh.axis_names, mesh.devices.shape):
+            if name not in manual:
+                auto *= sz
+        if auto > 1:
+            use_pallas = False
+        mesh = None
     if mesh is not None:
         from visper_lm_tpu.parallel.mesh import SEQ_AXIS
 
@@ -240,7 +264,6 @@ def multi_head_attention(
     if pallas_ok:
         from visper_lm_tpu.ops.flash_attention import flash_attention
 
-        mesh = _ambient_mesh()
         if mesh is not None and mesh.size > 1:
             # Mosaic kernels cannot be auto-partitioned by GSPMD; under a
             # multi-chip mesh the kernel must be wrapped in shard_map over the

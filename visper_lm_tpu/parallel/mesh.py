@@ -22,6 +22,7 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
@@ -29,30 +30,42 @@ def make_mesh(
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     sp: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh — ('data', 'seq', 'model') when sp > 1
-    (Ulysses sequence parallelism, parallel/sequence.py). dp defaults to
-    n_devices // (sp * tp)."""
+    """Create a ('data', 'model') mesh, gaining a 'pipe' axis when pp > 1
+    (GPipe-style layer pipelining, parallel/pipeline.py) and a 'seq' axis when
+    sp > 1 (Ulysses/ring sequence parallelism, parallel/sequence.py). dp
+    defaults to n_devices // (pp * sp * tp).
+
+    Axis order ('data', 'pipe', 'seq', 'model') puts the highest-bandwidth
+    collectives (TP all-reduces) on the innermost, fastest ICI dimension and
+    the point-to-point pipeline hops outside them."""
     if devices is None:
         devices = jax.devices()
     if dp is None:
-        dp = len(devices) // (tp * sp)
-    devices = list(devices)[: dp * tp * sp]
+        dp = len(devices) // (pp * tp * sp)
+    devices = list(devices)[: dp * pp * tp * sp]
     n = len(devices)
-    assert dp * tp * sp == n, (
-        f"dp({dp}) * sp({sp}) * tp({tp}) != available devices({n})"
+    assert dp * pp * sp * tp == n, (
+        f"dp({dp}) * pp({pp}) * sp({sp}) * tp({tp}) != available devices({n})"
     )
-    shape = (dp, sp, tp) if sp > 1 else (dp, tp)
-    axes = (DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if sp > 1 else (
-        DATA_AXIS, MODEL_AXIS
-    )
+    shape = [dp]
+    axes = [DATA_AXIS]
+    if pp > 1:
+        shape.append(pp)
+        axes.append(PIPE_AXIS)
+    if sp > 1:
+        shape.append(sp)
+        axes.append(SEQ_AXIS)
+    shape.append(tp)
+    axes.append(MODEL_AXIS)
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
     except Exception:
-        dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, axes)
+        dev_array = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axes))
 
 
 def single_device_mesh() -> Mesh:
