@@ -1,0 +1,219 @@
+"""Task-breadth parity: eval/lmms_tasks.py vs the reference fork's own utils.
+
+Each scorer/aggregator is run side-by-side with the reference implementation
+(imported read-only from /root/reference/lmms-eval via tests/_lmms_real.py)
+on adversarial synthetic docs/responses. Also drives the new tasks end-to-end
+through the mini harness with a scripted model.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tests")
+from _lmms_real import import_real_lmms_eval, load_task_utils  # noqa: E402
+
+from visper_lm_tpu.eval import lmms_tasks as lt  # noqa: E402
+from visper_lm_tpu.eval.harness import evaluate  # noqa: E402
+
+lmms_eval = import_real_lmms_eval()
+pytestmark = pytest.mark.skipif(
+    lmms_eval is None, reason="reference lmms-eval not importable"
+)
+
+
+# --------------------------------------------------------------- EvalAI core
+
+
+ADVERSARIAL_ANSWERS = [
+    "Two dogs.", "a red, shiny apple", "it's 10,000", "isnt it?", "YES",
+    "the answer is: left", "3.5 meters", "none", "o'clock", "don t know",
+    "1,234", "an apple;a pear", "what's up\nnothing", "  spaced  out  ",
+]
+
+
+def test_eval_ai_processor_parity():
+    from lmms_eval.tasks._task_utils.vqa_eval_metric import EvalAIAnswerProcessor
+
+    ref = EvalAIAnswerProcessor()
+    for s in ADVERSARIAL_ANSWERS:
+        assert lt.eval_ai_process(s) == ref(s), s
+        assert lt.process_punctuation(s) == ref.process_punctuation(s), s
+        assert lt.process_digit_article(s) == ref.process_digit_article(s), s
+
+
+# ---------------------------------------------------------------------- POPE
+
+
+POPE_DOCS = [
+    {"question_id": i, "question": f"Is there a {o} in the image?",
+     "answer": a, "image": None}
+    for i, (o, a) in enumerate([
+        ("dog", "yes"), ("cat", "no"), ("car", "yes"), ("tree", "no"),
+        ("person", "yes"), ("boat", "no"),
+    ])
+]
+POPE_PREDS = ["yes", "yes", "no", "no", "Yes.", "maybe"]
+
+
+def test_pope_parity():
+    ref = load_task_utils("pope")
+    mine_recs, ref_recs = {}, {}
+    for doc, pred in zip(POPE_DOCS, POPE_PREDS):
+        # reference asserts pred parsing implicitly via lower/strip only
+        m = lt.pope_process_results(doc, [pred])
+        r = ref.pope_process_results(doc, [pred])
+        for k in m:
+            mine_recs.setdefault(k, []).append(m[k])
+            ref_recs.setdefault(k, []).append(r[k])
+    assert lt.pope_aggregate_accuracy(mine_recs["pope_accuracy"]) == \
+        ref.pope_aggregate_accuracy(ref_recs["pope_accuracy"])
+    assert lt.pope_aggregate_precision(mine_recs["pope_precision"]) == \
+        ref.pope_aggregate_precision(ref_recs["pope_precision"])
+    assert lt.pope_aggregate_recall(mine_recs["pope_recall"]) == \
+        ref.pope_aggregate_recall(ref_recs["pope_recall"])
+    assert lt.pope_aggregate_f1(mine_recs["pope_f1_score"]) == \
+        ref.pope_aggregate_f1_score(ref_recs["pope_f1_score"])
+    assert lt.pope_aggregate_yes_ratio(mine_recs["pope_yes_ratio"]) == \
+        ref.pope_aggregate_yes_ratio(ref_recs["pope_yes_ratio"])
+
+
+# ------------------------------------------------------------------- TextVQA
+
+
+TEXTVQA_DOCS = [
+    {"question_id": 0, "question": "what does the sign say?",
+     "answers": ["stop", "STOP", "stop.", "Stop", "stahp", "stop", "stop",
+                 "stop sign", "stop", "stop"], "image": None},
+    {"question_id": 1, "question": "how many items?",
+     "answers": ["two", "2", "2", "two", "3", "2", "two", "2", "2", "two"],
+     "image": None},
+]
+
+
+def test_textvqa_parity():
+    ref = load_task_utils("textvqa")
+    for doc, pred in zip(TEXTVQA_DOCS, ["Stop", "2 items"]):
+        mine = lt.textvqa_process_results(dict(doc), [pred])["exact_match"]
+        theirs = ref.textvqa_process_results(dict(doc), [pred])["exact_match"]
+        assert mine == pytest.approx(theirs), (doc, pred)
+
+
+# -------------------------------------------------------------------- OK-VQA
+
+
+def test_ok_vqa_normalizer_parity():
+    """harness.vqa_normalize was upgraded to the FULL EvalAI pipeline
+    (word_tokenize + none->0); pin it against the reference's scorer."""
+    from visper_lm_tpu.eval.harness import ok_vqa_process_results
+
+    ref = load_task_utils("ok_vqa")
+    docs = [
+        {"question_id": 7, "answers":
+         ["none", "none", "0", "zero", "none", "nothing", "none", "0",
+          "none", "none"]},
+        {"question_id": 8, "answers":
+         ["it's a dog", "its a dog", "dog", "a dog", "dog", "dog", "dog",
+          "the dog", "dog", "puppy"]},
+    ]
+    for doc, pred in zip(docs, ["None.", "it's a dog"]):
+        mine = ok_vqa_process_results(dict(doc), [pred])["exact_match"]
+        theirs = ref.ok_vqa_process_results(
+            {**doc, "answers": list(doc["answers"])}, [pred]
+        )["exact_match"]
+        assert mine == pytest.approx(theirs), (doc, pred)
+
+
+# -------------------------------------------------------------------- VQAv2
+
+
+def test_vqav2_parity():
+    ref = load_task_utils("vqav2")
+    cases = [
+        # unanimous gt (skips the second normalization stage)
+        ([{"answer": "blue"}] * 10, "Blue."),
+        ([{"answer": "blue"}] * 10, "blue?"),
+        # split gt (engages punctuation/digit-article on both sides)
+        ([{"answer": "two"}] * 5 + [{"answer": "2"}] * 5, "Two."),
+        ([{"answer": "a dog"}] * 6 + [{"answer": "dog"}] * 4, "the dog"),
+    ]
+    for answers, pred in cases:
+        doc_m = {"question_id": 0, "answers": [a["answer"] for a in answers]}
+        doc_r = {"question_id": 0,
+                 "answers": [dict(a) for a in answers]}
+        mine = lt.vqav2_process_results(doc_m, [pred])["exact_match"]
+        theirs = ref.vqav2_process_results(doc_r, [pred])["exact_match"]
+        assert mine == pytest.approx(theirs), (answers[0], pred)
+
+
+# ---------------------------------------------------------------------- MME
+
+
+MME_DOCS = [
+    {"question_id": "img1", "category": "existence", "answer": "yes",
+     "question": "Is there a dog? Please answer yes or no.", "image": None},
+    {"question_id": "img1", "category": "existence", "answer": "no",
+     "question": "Is there a cat? Please answer yes or no.", "image": None},
+    {"question_id": "img2", "category": "code_reasoning", "answer": "yes",
+     "question": "Does this code loop? Please answer yes or no.", "image": None},
+    {"question_id": "img2", "category": "code_reasoning", "answer": "no",
+     "question": "Is it python 2? Please answer yes or no.", "image": None},
+]
+MME_PREDS = ["Yes.", "no", "yes it does", "unclear"]
+
+
+def test_mme_parity():
+    ref = load_task_utils("mme")
+    mine_p, mine_c, ref_p, ref_c = [], [], [], []
+    for doc, pred in zip(MME_DOCS, MME_PREDS):
+        m = lt.mme_process_results(doc, [pred])
+        r = ref.mme_process_results(doc, [pred])
+        assert set(m) == set(r)
+        for k, v in m.items():
+            (mine_p if "percetion" in k else mine_c).append(v)
+        for k, v in r.items():
+            (ref_p if "percetion" in k else ref_c).append(v)
+    assert lt.mme_aggregate_results(mine_p) == ref.mme_aggregate_results(ref_p)
+    assert lt.mme_aggregate_results(mine_c) == ref.mme_aggregate_results(ref_c)
+    assert lt.mme_parse_pred("yess") == ref.parse_pred_ans("yess")
+    assert lt.mme_parse_pred("No, it is not") == ref.parse_pred_ans("No, it is not")
+    assert lt.mme_parse_pred("maybe") == ref.parse_pred_ans("maybe")
+
+
+# --------------------------------------------------- harness end-to-end run
+
+
+class _ScriptedLM:
+    """generate_until stand-in returning canned responses by doc order."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.task_dict = {}
+
+    def generate_until(self, instances):
+        return [self.responses[inst.args[3]] for inst in instances]
+
+
+def test_harness_runs_new_tasks_end_to_end():
+    lm = _ScriptedLM(POPE_PREDS)
+    res = evaluate(lm, [lt.pope_task(POPE_DOCS)])
+    pope = res["pope"]
+    assert set(pope) == {
+        "pope_accuracy", "pope_precision", "pope_recall", "pope_f1_score",
+        "pope_yes_ratio",
+    }
+    # gt: y n y n y n; preds lower/strip: yes yes no no "yes." maybe —
+    # exact string match means only #0 and #3 score ("yes." != "yes",
+    # reference semantics, tasks/pope/utils.py:16-18)
+    assert pope["pope_accuracy"] == pytest.approx(2 / 6)
+
+    lm = _ScriptedLM(MME_PREDS)
+    res = evaluate(lm, [lt.mme_task(MME_DOCS)])
+    assert "mme_percetion_score" in res["mme"]
+    assert "mme_cognition_score" in res["mme"]
+
+    lm = _ScriptedLM(["blue"])
+    res = evaluate(lm, [lt.gqa_task(
+        [{"question": "what color?", "answer": "Blue.", "image": None}]
+    )])
+    assert res["gqa"]["exact_match"] == 1.0

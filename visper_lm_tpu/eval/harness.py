@@ -71,16 +71,24 @@ def evaluate(lm, tasks: Sequence[TaskConfig], limit: Optional[int] = None) -> Di
         resps = lm.generate_until(instances)
         for f in task.filters:
             resps = f(resps, docs)
-        metric_values: Dict[str, List[float]] = {}
+        metric_values: Dict[str, List[Any]] = {}
         for doc, resp in zip(docs, resps):
             scored = task.process_results(doc, [resp])
             for metric, value in scored.items():
-                if isinstance(value, (int, float)):
-                    metric_values.setdefault(metric, []).append(float(value))
+                metric_values.setdefault(metric, []).append(value)
         agg = {}
         for metric, values in metric_values.items():
-            fn = task.metric_aggregation.get(metric, lambda v: sum(v) / max(len(v), 1))
-            agg[metric] = fn(values)
+            fn = task.metric_aggregation.get(metric)
+            if fn is not None:
+                # custom aggregation sees the raw per-doc values (may be dict
+                # records — POPE/MME style, lmms-eval aggregation contract)
+                agg[metric] = fn(values)
+                continue
+            numeric = [v for v in values if isinstance(v, (int, float))]
+            if len(numeric) == len(values):
+                agg[metric] = sum(float(v) for v in numeric) / max(len(values), 1)
+            # non-numeric metrics without an aggregator (e.g. 'submission'
+            # records) are collected artifacts, not scores — dropped here
         results[task.name] = agg
     return results
 
@@ -299,24 +307,52 @@ _VQA_PUNCT = [";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\", "_",
               "-", ">", "<", "@", "`", ",", "?", "!"]
 _PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
 _COMMA_STRIP = re.compile(r"(?<=\d)(\,)+(?=\d)")
+# EvalAI's NUMBER_MAP adds "none" -> "0" on top of the RWQA word map
+# (vqa_eval_metric.py:134-147); RWQA's NumberWordsToDigitsFilter does not.
+_EVALAI_NUM_MAP = {"none": "0", **_NUM_WORDS}
 
 
-def vqa_normalize(text: str) -> str:
-    """EvalAI answer normalization (tasks/_task_utils/vqa_eval_metric.py)."""
-    t = text.replace("\n", " ").replace("\t", " ").strip()
-    out = t
+def vqa_word_tokenize(word: str) -> str:
+    """EvalAIAnswerProcessor.word_tokenize (vqa_eval_metric.py:178-181)."""
+    word = word.lower()
+    word = word.replace(",", "").replace("?", "").replace("'s", " 's")
+    return word.strip()
+
+
+def vqa_process_punctuation(in_text: str) -> str:
+    """EvalAIAnswerProcessor.process_punctuation (vqa_eval_metric.py:183-191)."""
+    out = in_text
     for p in _VQA_PUNCT:
-        if (p + " " in t or " " + p in t) or _COMMA_STRIP.search(t) is not None:
+        if (p + " " in in_text or " " + p in in_text) or (
+            _COMMA_STRIP.search(in_text) is not None
+        ):
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")
-    out = _PERIOD_STRIP.sub("", out)
+    return _PERIOD_STRIP.sub("", out)
+
+
+def vqa_process_digit_article(in_text: str) -> str:
+    """EvalAIAnswerProcessor.process_digit_article (vqa_eval_metric.py:193-206)."""
     words = []
-    for word in out.lower().split():
-        word = _NUM_WORDS.get(word, word)
+    for word in in_text.lower().split():
+        word = _EVALAI_NUM_MAP.get(word, word)
         if word not in _VQA_ARTICLES:
-            words.append(_VQA_CONTRACTIONS.get(word, word))
+            words.append(word)
+    for i, word in enumerate(words):
+        if word in _VQA_CONTRACTIONS:
+            words[i] = _VQA_CONTRACTIONS[word]
     return " ".join(words)
+
+
+def vqa_normalize(text: str) -> str:
+    """EvalAI answer normalization, the full __call__ pipeline
+    (tasks/_task_utils/vqa_eval_metric.py:208-213): word_tokenize →
+    whitespace fold → punctuation → digit/article/contractions."""
+    t = vqa_word_tokenize(text)
+    t = t.replace("\n", " ").replace("\t", " ").strip()
+    t = vqa_process_punctuation(t)
+    return vqa_process_digit_article(t)
 
 
 def ok_vqa_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:

@@ -1,0 +1,322 @@
+"""Additional lmms-eval task definitions for the executable mini harness.
+
+The reference vendors ~42 task configs in its lmms-eval fork; the shipped
+evals use four (RWQA/OK-VQA in eval/harness.py, CV-Bench/MMStar natively).
+This module adds the most-used remainder as harness TaskConfigs with the
+reference fork's exact scoring semantics (each cites its source):
+
+  * POPE (tasks/pope/utils.py): yes/no accuracy, precision/recall/F1 and
+    yes-ratio via custom aggregations over per-doc records;
+  * GQA (tasks/gqa/gqa.yaml): exact_match with ignore_case +
+    ignore_punctuation on 'answer', "\\nAnswer the question using a single
+    word or phrase." post-prompt;
+  * TextVQA (tasks/textvqa/utils.py): EvalAI answer processing on BOTH sides,
+    leave-one-out consensus min(matching/3, 1);
+  * VQAv2 (tasks/vqav2/utils.py): consensus accuracy with the CONDITIONAL
+    second normalization stage (punctuation+digit/article only when the
+    ground-truth answer set is non-unanimous);
+  * MME (tasks/mme/utils.py): per-category acc + acc_plus (both questions of
+    an image right) scoring, perception/cognition score split.
+
+Parity-tested against the reference's own utils modules in
+tests/test_lmms_tasks.py (imported read-only, never copied).
+"""
+
+from __future__ import annotations
+
+import statistics
+from collections import defaultdict
+from typing import Any, Dict, List, Sequence
+
+from visper_lm_tpu.eval.harness import (
+    TaskConfig,
+    vqa_normalize,
+    vqa_process_digit_article as process_digit_article,
+    vqa_process_punctuation as process_punctuation,
+)
+
+SINGLE_WORD_POST_PROMPT = "\nAnswer the question using a single word or phrase."
+
+# EvalAIAnswerProcessor.__call__ — the staged pieces live in eval/harness.py;
+# vqav2 needs the stages separately (its second normalization is conditional)
+eval_ai_process = vqa_normalize
+
+
+# ------------------------------------------------------------------- POPE
+
+
+def pope_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    """tasks/pope/utils.py:15-26 — one record fans out to every metric; the
+    aggregations compute accuracy/precision/recall/F1/yes-ratio over them."""
+    pred = results[0].lower().strip()
+    gt = doc["answer"].lower().strip()
+    assert gt in ("yes", "no"), gt
+    rec = {
+        "question_id": doc.get("question_id"),
+        "score": 1.0 if pred == gt else 0.0,
+        "prediction": pred,
+        "ground_truth": gt,
+    }
+    return {
+        "pope_accuracy": rec,
+        "pope_precision": rec,
+        "pope_recall": rec,
+        "pope_f1_score": rec,
+        "pope_yes_ratio": rec,
+    }
+
+
+def pope_aggregate_accuracy(results: List[dict]) -> float:
+    return sum(r["score"] for r in results) / max(len(results), 1)
+
+
+def pope_aggregate_precision(results: List[dict]) -> float:
+    tp = sum(1 for r in results if r["ground_truth"] == "yes" and r["prediction"] == "yes")
+    fp = sum(1 for r in results if r["ground_truth"] == "no" and r["prediction"] == "yes")
+    return tp / (tp + fp) if (tp + fp) > 0 else 0
+
+
+def pope_aggregate_recall(results: List[dict]) -> float:
+    tp = sum(1 for r in results if r["ground_truth"] == "yes" and r["prediction"] == "yes")
+    fn = sum(1 for r in results if r["ground_truth"] == "yes" and r["prediction"] == "no")
+    return tp / (tp + fn) if (tp + fn) > 0 else 0
+
+
+def pope_aggregate_f1(results: List[dict]) -> float:
+    p = pope_aggregate_precision(results)
+    r = pope_aggregate_recall(results)
+    return 2 * p * r / (p + r) if (p + r) > 0 else 0
+
+
+def pope_aggregate_yes_ratio(results: List[dict]) -> float:
+    yes = sum(1 for r in results if r["ground_truth"] == "yes")
+    no = sum(1 for r in results if r["ground_truth"] == "no")
+    return yes / (yes + no) if (yes + no) > 0 else 0
+
+
+def pope_task(docs: Sequence[dict], name: str = "pope") -> TaskConfig:
+    """docs: [{question, answer: yes|no, image(PIL), question_id}]. `name`
+    selects the subset flavor (pope / pope_adv / pope_pop / pope_random —
+    same config, different doc files, tasks/pope/*.yaml)."""
+    return TaskConfig(
+        name=name,
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"].strip()
+        + SINGLE_WORD_POST_PROMPT,
+        process_results=pope_process_results,
+        generation_kwargs={"max_new_tokens": 128, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            "pope_accuracy": pope_aggregate_accuracy,
+            "pope_precision": pope_aggregate_precision,
+            "pope_recall": pope_aggregate_recall,
+            "pope_f1_score": pope_aggregate_f1,
+            "pope_yes_ratio": pope_aggregate_yes_ratio,
+        },
+    )
+
+
+# -------------------------------------------------------------------- GQA
+
+
+_GQA_PUNCT_TBL = None
+
+
+def _strip_punct_lower(s: str) -> str:
+    """hf-evaluate exact_match's ignore_case+ignore_punctuation regularizer."""
+    global _GQA_PUNCT_TBL
+    if _GQA_PUNCT_TBL is None:
+        import sys
+        import unicodedata
+
+        _GQA_PUNCT_TBL = dict.fromkeys(
+            i for i in range(sys.maxunicode)
+            if unicodedata.category(chr(i)).startswith("P")
+        )
+    return s.lower().translate(_GQA_PUNCT_TBL)
+
+
+def gqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """gqa.yaml metric_list: exact_match vs doc['answer'], ignore_case +
+    ignore_punctuation (hf-evaluate exact_match semantics)."""
+    pred = _strip_punct_lower(results[0].strip())
+    gt = _strip_punct_lower(str(doc["answer"]).strip())
+    return {"exact_match": 1.0 if pred == gt else 0.0}
+
+
+def gqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answer, image(PIL)}] (tasks/gqa/gqa.yaml)."""
+    return TaskConfig(
+        name="gqa",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=gqa_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+        split="testdev",
+    )
+
+
+# ----------------------------------------------------------------- TextVQA
+
+
+def textvqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """tasks/textvqa/utils.py:20-46: EvalAI processing on response AND every
+    annotator answer, then leave-one-out consensus."""
+    res = eval_ai_process(results[0])
+    answers = doc.get("answers") or []
+    if not answers:
+        return {"exact_match": 0.0}
+    processed = [eval_ai_process(a) for a in answers]
+    gt_acc = []
+    for i in range(len(processed)):
+        others = [processed[j] for j in range(len(processed)) if j != i]
+        matching = [a for a in others if a == res]
+        gt_acc.append(min(1.0, len(matching) / 3))
+    return {"exact_match": statistics.mean(gt_acc)}
+
+
+def textvqa_task(docs: Sequence[dict], ocr: bool = False) -> TaskConfig:
+    """docs: [{question, answers: [str], image(PIL), question_id,
+    ocr_tokens?}] (tasks/textvqa/_default_template_textvqa_yaml)."""
+
+    def to_text(d):
+        ocr_ref = ""
+        if ocr and d.get("ocr_tokens"):
+            ocr_ref = f"\nReference OCR token: {', '.join(d['ocr_tokens'])}"
+        return d["question"].capitalize() + ocr_ref + SINGLE_WORD_POST_PROMPT
+
+    return TaskConfig(
+        name="textvqa_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=to_text,
+        process_results=textvqa_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "until": ["ASSISTANT:"]},
+        split="val",
+    )
+
+
+# ------------------------------------------------------------------ VQAv2
+
+
+def vqav2_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """tasks/vqav2/utils.py:20-58: whitespace-normalize annotator answers,
+    apply punctuation+digit/article ONLY when the ground-truth set is
+    non-unanimous, then leave-one-out consensus.
+
+    QUIRK replicated deliberately: the reference's leave-one-out removes
+    answers equal BY VALUE (`item != gtAnsDatum` on dicts, utils.py:52), not
+    by index — so every duplicate of the held-out answer is excluded too and
+    a unanimous answer set scores 0.0 regardless of the prediction. ok_vqa
+    and textvqa iterate by index and don't have this."""
+    res = eval_ai_process(results[0])
+    answers = [
+        a.replace("\n", " ").replace("\t", " ").strip()
+        for a in (doc.get("answers") or [])
+    ]
+    if not answers:
+        return {"exact_match": 0.0}
+    if len(set(answers)) > 1:
+        answers = [process_digit_article(process_punctuation(a)) for a in answers]
+        res = process_digit_article(process_punctuation(res))
+    gt_acc = []
+    for cur in answers:
+        others = [a for a in answers if a != cur]
+        matching = [a for a in others if a == res]
+        gt_acc.append(min(1.0, len(matching) / 3))
+    return {"exact_match": statistics.mean(gt_acc)}
+
+
+def vqav2_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answers: [str x10], image(PIL), question_id}]
+    (tasks/vqav2/_default_template_vqav2_yaml)."""
+    return TaskConfig(
+        name="vqav2_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=vqav2_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "until": ["ASSISTANT:"]},
+        split="val",
+    )
+
+
+# -------------------------------------------------------------------- MME
+
+
+MME_PERCEPTION = (
+    "existence", "count", "position", "color", "posters", "celebrity",
+    "scene", "landmark", "artwork", "OCR",
+)
+
+
+def mme_parse_pred(pred: str) -> str:
+    """tasks/mme/utils.py parse_pred_ans (Otter eval semantics)."""
+    pred = pred.lower().strip().replace(".", "")
+    if pred in ("yes", "no"):
+        return pred
+    prefix = pred[:4]
+    if "yes" in prefix:
+        return "yes"
+    if "no" in prefix:
+        return "no"
+    return "other"
+
+
+def mme_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    pred = mme_parse_pred(results[0])
+    gt = doc["answer"].lower().strip().replace(".", "")
+    assert gt in ("yes", "no"), gt
+    score = 1.0 if pred == gt else 0.0
+    category = doc["category"]
+    key = (
+        "mme_percetion_score"          # [sic] reference key, utils.py:85
+        if category in MME_PERCEPTION
+        else "mme_cognition_score"
+    )
+    return {key: {"question_id": doc["question_id"], "category": category,
+                  "score": score}}
+
+
+def mme_aggregate_results(results: List[dict]) -> float:
+    """tasks/mme/utils.py:91-120: per image-category, acc + acc_plus (both
+    questions of an image answered right), summed over categories."""
+    category2score = defaultdict(dict)
+    for r in results:
+        category2score[r["category"]].setdefault(r["question_id"], []).append(
+            r["score"]
+        )
+    total = 0.0
+    per_cat = {}
+    for category, by_q in category2score.items():
+        cat_total = 0.0
+        for scores in by_q.values():
+            assert len(scores) == 2, "MME pairs two questions per image"
+            acc = sum(scores) / len(scores) * 100.0
+            acc_plus = (sum(scores) == 2) * 100.0
+            cat_total += acc + acc_plus
+        per_cat[category] = cat_total / len(by_q)
+    return sum(per_cat.values())
+
+
+def mme_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answer: yes|no, image(PIL), question_id, category}];
+    two docs per question_id (the paired yes/no probes)."""
+    return TaskConfig(
+        name="mme",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"].strip(),
+        process_results=mme_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            "mme_percetion_score": mme_aggregate_results,
+            "mme_cognition_score": mme_aggregate_results,
+        },
+    )
