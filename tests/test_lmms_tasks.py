@@ -146,6 +146,47 @@ def test_vqav2_parity():
         assert mine == pytest.approx(theirs), (answers[0], pred)
 
 
+# ------------------------------------------------------------ DocVQA (ANLS)
+
+
+def test_anls_parity():
+    from lmms_eval.api.metrics import anls as ref_anls
+
+    cases = [
+        (["Total: $45.50", "45.50"], "$45.50"),
+        (["monday"], "Monday"),
+        (["12 March 2020", "march 12"], "12 march  2020"),
+        ([""], "anything"),
+        (["abc"], ""),
+        (["the   quick brown fox"], "the quick brown fox"),
+    ]
+    for refs, pred in cases:
+        mine = lt.anls_score(refs, pred)
+        theirs = ref_anls(references=refs, predictions=[pred])["anls"]
+        assert mine == pytest.approx(theirs), (refs, pred)
+
+
+# --------------------------------------------------------- ChartQA (relaxed)
+
+
+def test_chartqa_parity():
+    ref = load_task_utils("chartqa")
+    cases = [
+        ("42", "40"),        # 5% tolerance: |42-40|/40 = 0.05 -> correct
+        ("42.1", "40"),      # just over
+        ("10%", "0.1"),      # percent conversion
+        ("Blue", "blue"),    # non-numeric exact
+        ("0", "0"),          # target 0: falsy -> string compare branch
+        ("five", "5"),
+    ]
+    for pred, target in cases:
+        assert lt.relaxed_correctness(pred, target) == \
+            ref.relaxed_correctness(pred, target), (pred, target)
+        doc = {"type": "human_test", "answer": target}
+        assert lt.chartqa_process_results(doc, [pred]) == \
+            ref.chartqa_process_results(doc, [pred])
+
+
 # ---------------------------------------------------------------------- MME
 
 

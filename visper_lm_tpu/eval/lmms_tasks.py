@@ -246,6 +246,107 @@ def vqav2_task(docs: Sequence[dict]) -> TaskConfig:
     )
 
 
+# ----------------------------------------------------------------- DocVQA
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Iterative-DP edit distance (the ANLS spec, api/metrics.py:169-183)."""
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b):
+        cur = [j + 1]
+        for i, ca in enumerate(a):
+            cur.append(prev[i] if ca == cb else 1 + min(prev[i], prev[i + 1],
+                                                        cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def anls_score(references: Sequence[str], prediction: str,
+               threshold: float = 0.5) -> float:
+    """lmms_eval/api/metrics.py:191-212 ANLS, quirks preserved: the edit
+    distance runs on whitespace-folded lowercase strings but the normalizing
+    LENGTH uses the raw strings; scores below the threshold clamp to 0."""
+    values = []
+    for answer in references:
+        gt = " ".join(answer.strip().lower().split())
+        det = " ".join(prediction.strip().lower().split())
+        dist = levenshtein(gt, det)
+        length = max(len(answer.upper()), len(prediction.upper()))
+        values.append(0.0 if length == 0 else float(dist) / float(length))
+    result = 1 - min(values)
+    return 0 if result < threshold else result
+
+
+def docvqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """docvqa_val.yaml metric_list: anls vs doc['answers']."""
+    return {"anls": anls_score(doc.get("answers") or [], results[0])}
+
+
+def docvqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answers: [str], image(PIL), questionId}]
+    (tasks/docvqa/_default_template_docvqa_yaml)."""
+    return TaskConfig(
+        name="docvqa_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=docvqa_process_results,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        split="validation",
+    )
+
+
+# ---------------------------------------------------------------- ChartQA
+
+
+def relaxed_correctness(prediction: str, target: str,
+                        max_relative_change: float = 0.05) -> bool:
+    """tasks/chartqa/utils.py:25-63 (ChartQA §5.1 relaxed accuracy): numeric
+    answers tolerate 5% relative error (with %-suffix conversion); anything
+    non-numeric needs a case-insensitive exact match."""
+
+    def _to_float(text: str):
+        try:
+            if text.endswith("%"):
+                return float(text.rstrip("%")) / 100.0
+            return float(text)
+        except ValueError:
+            return None
+
+    p, t = _to_float(prediction), _to_float(target)
+    if p is not None and t:
+        return abs(p - t) / abs(t) <= max_relative_change
+    return prediction.lower() == target.lower()
+
+
+def chartqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    score = 1.0 if relaxed_correctness(results[0], doc["answer"]) else 0.0
+    out = {"relaxed_overall": score}
+    if doc.get("type") == "human_test":
+        out["relaxed_human_split"] = score
+    else:
+        out["relaxed_augmented_split"] = score
+    return out
+
+
+def chartqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answer, type: human_test|augmented_test, image(PIL)}]
+    (tasks/chartqa/chartqa.yaml)."""
+    return TaskConfig(
+        name="chartqa",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"]
+        + "\nAnswer the question with a single word.",
+        process_results=chartqa_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+    )
+
+
 # -------------------------------------------------------------------- MME
 
 
