@@ -421,3 +421,27 @@ def mme_task(docs: Sequence[dict]) -> TaskConfig:
             "mme_cognition_score": mme_aggregate_results,
         },
     )
+
+
+# ----------------------------------------------------------------- registry
+
+
+def task_builders() -> Dict[str, Any]:
+    """Name -> TaskConfig builder for every harness task (lmms-eval
+    `--tasks`-style discovery). RWQA/OK-VQA/CV-Bench/MMStar live in
+    eval/harness.py; the rest here."""
+    from visper_lm_tpu.eval import harness as h
+
+    return {
+        "realworldqa": h.realworldqa_task,
+        "ok_vqa_val2014": h.ok_vqa_task,
+        "cvbench": h.cvbench_task,
+        "mmstar": h.mmstar_task,
+        "pope": pope_task,
+        "gqa": gqa_task,
+        "textvqa_val": textvqa_task,
+        "vqav2_val": vqav2_task,
+        "mme": mme_task,
+        "docvqa_val": docvqa_task,
+        "chartqa": chartqa_task,
+    }

@@ -23,6 +23,7 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(
@@ -31,29 +32,35 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     sp: int = 1,
     pp: int = 1,
+    ep: int = 1,
 ) -> Mesh:
     """Create a ('data', 'model') mesh, gaining a 'pipe' axis when pp > 1
-    (GPipe-style layer pipelining, parallel/pipeline.py) and a 'seq' axis when
-    sp > 1 (Ulysses/ring sequence parallelism, parallel/sequence.py). dp
-    defaults to n_devices // (pp * sp * tp).
+    (GPipe-style layer pipelining, parallel/pipeline.py), a 'seq' axis when
+    sp > 1 (Ulysses/ring sequence parallelism, parallel/sequence.py), and an
+    'expert' axis when ep > 1 (expert-parallel MoE, ops/moe.py). dp defaults
+    to n_devices // (pp * sp * ep * tp).
 
-    Axis order ('data', 'pipe', 'seq', 'model') puts the highest-bandwidth
-    collectives (TP all-reduces) on the innermost, fastest ICI dimension and
-    the point-to-point pipeline hops outside them."""
+    Axis order ('data', 'pipe', 'expert', 'seq', 'model') puts the
+    highest-bandwidth collectives (TP all-reduces) on the innermost, fastest
+    ICI dimension and the point-to-point pipeline hops outside them."""
     if devices is None:
         devices = jax.devices()
     if dp is None:
-        dp = len(devices) // (pp * tp * sp)
-    devices = list(devices)[: dp * pp * tp * sp]
+        dp = len(devices) // (pp * tp * sp * ep)
+    devices = list(devices)[: dp * pp * tp * sp * ep]
     n = len(devices)
-    assert dp * pp * sp * tp == n, (
-        f"dp({dp}) * pp({pp}) * sp({sp}) * tp({tp}) != available devices({n})"
+    assert dp * pp * sp * ep * tp == n, (
+        f"dp({dp}) * pp({pp}) * sp({sp}) * ep({ep}) * tp({tp}) "
+        f"!= available devices({n})"
     )
     shape = [dp]
     axes = [DATA_AXIS]
     if pp > 1:
         shape.append(pp)
         axes.append(PIPE_AXIS)
+    if ep > 1:
+        shape.append(ep)
+        axes.append(EXPERT_AXIS)
     if sp > 1:
         shape.append(sp)
         axes.append(SEQ_AXIS)
