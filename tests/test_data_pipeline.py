@@ -185,3 +185,73 @@ def test_dataset_batching(tmp_path):
     assert b0["text_ids"].shape[0] == 2
     assert b0["images"].shape == (2, 28, 28, 3)
     assert set(b0).issuperset({"gen_mask", "depth_mask", "seg_mask", "labels"})
+
+
+def test_batch_iterator_workers_match_inline(tmp_path):
+    """num_workers > 0 must yield byte-identical batches in the same order."""
+    import numpy as np
+
+    from visper_lm_tpu.data.dataset import BatchIterator, DataConfig, SupervisedDataset
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (50, 40), (10, 200, 30)).save(img_dir / "a.jpg")
+    records = []
+    for i in range(8):
+        rec = {
+            "image": "a.jpg",
+            "conversations": [
+                {"from": "human", "value": f"<image>\nq {i}"},
+                {"from": "gpt", "value": f"a {i}"},
+            ],
+        }
+        records.append(rec)
+    data_path = tmp_path / "d.json"
+    json.dump(records, open(data_path, "w"))
+    vlm_cfg = tiny_test_vlm(distill=False)
+    dcfg = DataConfig(
+        data_path=str(data_path), image_folder=str(img_dir),
+        image_size=vlm_cfg.vision.image_size, model_max_length=128,
+    )
+    ds = SupervisedDataset(dcfg, FakeTokenizer(), vlm_cfg)
+
+    def batches(workers):
+        it = BatchIterator(ds, batch_size=2, seq_buckets=(64, 128), seed=3,
+                           num_workers=workers)
+        return [{k: v for k, v in b.items() if k != "pil_images"} for b in it]
+
+    ref, par = batches(0), batches(3)
+    assert len(ref) == len(par) == 4
+    for b0, b1 in zip(ref, par):
+        assert set(b0) == set(b1)
+        for k in b0:
+            np.testing.assert_array_equal(np.asarray(b0[k]), np.asarray(b1[k]))
+
+
+def test_prefetch_iterator_order_and_errors():
+    from visper_lm_tpu.data.prefetch import PrefetchIterator
+
+    assert list(PrefetchIterator(range(100), depth=4)) == list(range(100))
+    assert list(PrefetchIterator(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    it = PrefetchIterator(boom(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+    # closed after error: exhausted
+    with _pytest.raises(StopIteration):
+        next(it)
+
+    # close() mid-stream terminates the producer without raising
+    it = PrefetchIterator(range(10_000), depth=2)
+    assert next(it) == 0
+    it.close()

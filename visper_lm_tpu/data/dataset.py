@@ -196,11 +196,16 @@ class BatchIterator:
         distill_tasks: Sequence[str] = (),
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
     ):
         """batch_size is PER PROCESS; with process_count > 1 every process computes
         the same global example order from the shared seed, then takes a disjoint
         strided slice (DistributedSampler semantics — the reference relies on
-        HF Trainer + the deepspeed launcher for the same contract)."""
+        HF Trainer + the deepspeed launcher for the same contract).
+
+        num_workers > 0 fans the per-sample decode (image load + PIL/native
+        resize) over a thread pool — the torch-DataLoader-workers equivalent;
+        order is preserved (pool.map). 0 = inline."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seq_buckets = seq_buckets
@@ -210,6 +215,7 @@ class BatchIterator:
         assert 0 <= process_index < process_count
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
@@ -236,11 +242,26 @@ class BatchIterator:
         ntt = d.num_task_tokens if d else 0
         n_tasks = len(d.task_order()) if d else 0
 
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            yield from self._batches(order, n, vlm, ntt, n_tasks, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+    def _batches(self, order, n, vlm, ntt, n_tasks, pool):
         for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
             idxs = order[start : start + self.batch_size]
             if len(idxs) < self.batch_size and self.drop_last:
                 break
-            examples = [self.ds[i] for i in idxs]
+            if pool is not None:
+                examples = list(pool.map(self.ds.__getitem__, idxs))
+            else:
+                examples = [self.ds[i] for i in idxs]
 
             # static bucket: longest spliced length in batch
             spliced_lens = []

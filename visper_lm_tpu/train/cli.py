@@ -71,6 +71,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="HF checkpoint dir to initialize trunk+tower from")
     # optimization (reference defaults: pretrain.sh:38-52 / finetune.sh:26-38)
     p.add_argument("--per-device-batch-size", type=int, default=32)
+    # input pipeline (torch DataLoader(num_workers, prefetch_factor) equiv.)
+    p.add_argument("--dataloader-num-workers", type=int, default=4,
+                   help="threads for per-sample image decode (0 = inline)")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="batches assembled ahead on a background thread "
+                        "(0 = synchronous)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--mm-projector-lr", type=float, default=None)
     p.add_argument("--mm-vision-lr", type=float, default=None)
@@ -261,6 +267,7 @@ def main() -> None:
             seed=epoch, distill_tasks=distill_tasks,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            num_workers=args.dataloader_num_workers,
         )
         from PIL import Image
 
@@ -284,6 +291,14 @@ def main() -> None:
                     ]
                     batch.update(teacher_batch_from_pil(cfg, pil))
             yield batch
+
+    def prefetched_iter(epoch: int):
+        if args.prefetch_depth <= 0:
+            return data_iter(epoch)
+        from visper_lm_tpu.data.prefetch import PrefetchIterator
+
+        # batch assembly + teacher featurization overlap the device step
+        return PrefetchIterator(data_iter(epoch), depth=args.prefetch_depth)
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     if args.init_from:
@@ -332,7 +347,7 @@ def main() -> None:
         offload_opt_state=args.offload_opt_state,
     )
     train(
-        cfg, opt_cfg, trainer_cfg, params, data_iter,
+        cfg, opt_cfg, trainer_cfg, params, prefetched_iter,
         teacher_fn=teacher_fn, teacher_params=teacher_params,
     )
 
