@@ -117,7 +117,7 @@ def test_decoder_taps_match_segmented_run():
     captured = {}
     for i in range(cfg.num_layers):
         block = jax.tree_util.tree_map(lambda p: p[i], params["blocks"])
-        h, _ = _block_forward(block, cfg, h, cos, sin, None, 0, None, False)
+        h, _, _ = _block_forward(block, cfg, h, cos, sin, None, 0, None, False)
         if i in (1, 3):
             captured[i] = h
     np.testing.assert_allclose(np.array(taps[0]), np.array(captured[1]), rtol=2e-4, atol=1e-5)

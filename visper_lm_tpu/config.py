@@ -79,6 +79,14 @@ class DecoderConfig:
     # them split in our canonical tree and split during import instead.
     family: str = "llama"  # "llama" | "phi3"
     dtype: str = "bfloat16"
+    # Sparse MLP (ops/moe.py): 0 = dense (every reference model). When > 0 the
+    # per-block MLP becomes a top-k MoE; expert weights shard over the
+    # 'expert' mesh axis and the Switch aux losses enter the training loss
+    # with moe_aux_weight.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def q_per_kv(self) -> int:

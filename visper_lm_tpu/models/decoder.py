@@ -136,10 +136,27 @@ def init_decoder(key: jax.Array, cfg: DecoderConfig) -> Params:
         "v_proj": _stacked_linear(ks[2], L, h, nkv * hd, dtype),
         "o_proj": _stacked_linear(ks[3], L, nh * hd, h, dtype),
         "mlp_norm": {"scale": jnp.ones((L, h), dtype)},
-        "gate_proj": _stacked_linear(ks[4], L, h, m, dtype),
-        "up_proj": _stacked_linear(ks[5], L, h, m, dtype),
-        "down_proj": _stacked_linear(ks[6], L, m, h, dtype),
     }
+    if cfg.moe_experts:
+        # sparse MLP: per-layer router + (E, ...) expert banks (ops/moe.py)
+        import math as _math
+
+        E = cfg.moe_experts
+        eks = jax.random.split(ks[4], 4)
+        s_in, s_mid = 1.0 / _math.sqrt(h), 1.0 / _math.sqrt(m)
+        blocks["moe_router"] = {
+            "kernel": jax.random.normal(eks[0], (L, h, E), jnp.float32) * 0.02
+        }
+        blocks["moe_gate"] = {"kernel": jax.random.uniform(
+            eks[1], (L, E, h, m), dtype=dtype, minval=-s_in, maxval=s_in)}
+        blocks["moe_up"] = {"kernel": jax.random.uniform(
+            eks[2], (L, E, h, m), dtype=dtype, minval=-s_in, maxval=s_in)}
+        blocks["moe_down"] = {"kernel": jax.random.uniform(
+            eks[3], (L, E, m, h), dtype=dtype, minval=-s_mid, maxval=s_mid)}
+    else:
+        blocks["gate_proj"] = _stacked_linear(ks[4], L, h, m, dtype)
+        blocks["up_proj"] = _stacked_linear(ks[5], L, h, m, dtype)
+        blocks["down_proj"] = _stacked_linear(ks[6], L, m, h, dtype)
     params: Params = {
         "embed_tokens": {
             "embedding": jax.random.normal(ks[7], (cfg.vocab_size, h), dtype) * 0.02
@@ -166,7 +183,7 @@ def _block_forward(
     kv_starts: Optional[jax.Array] = None,
     quant_saves: bool = False,
     stats_out: Optional[list] = None,
-) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]], Optional[Dict[str, jax.Array]]]:
     b, t, d = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -250,6 +267,26 @@ def _block_forward(
     h = h + linear(block["o_proj"], attn)
 
     x = rmsnorm(block["mlp_norm"], h, cfg.norm_eps)
+    if "moe_router" in block:
+        # sparse MLP (ops/moe.py): static-capacity top-k dispatch; expert banks
+        # shard over the 'expert' mesh axis when the ambient mesh carries one.
+        # Aux (Switch load-balance + z-loss) rides up to decoder_forward, which
+        # averages it over layers for the training loss.
+        from visper_lm_tpu.ops.moe import moe_mlp
+
+        mlp_out, moe_aux = moe_mlp(
+            {
+                "router": block["moe_router"]["kernel"],
+                "gate": block["moe_gate"]["kernel"],
+                "up": block["moe_up"]["kernel"],
+                "down": block["moe_down"]["kernel"],
+            },
+            x,
+            top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+        )
+        h = h + mlp_out
+        return h, new_cache, moe_aux
     _record(gate_proj=x, up_proj=x)
     # named for the save_mlp/save_qkv_mlp remat policies: with a FROZEN decoder
     # (PT stage) the backward's dx path needs activations only at the nonlinear
@@ -274,7 +311,7 @@ def _block_forward(
     gu = gate * up
     _record(down_proj=gu)
     h = h + linear(block["down_proj"], gu)
-    return h, new_cache
+    return h, new_cache, None
 
 
 def _quant_saved(x: jax.Array, name: str):
@@ -374,15 +411,29 @@ def decoder_forward(
     quant_cache = isinstance(cache, QuantKVCache)
 
     quant_saves = remat and remat_policy == "save_mlp_q8"
+    moe_on = cfg.moe_experts > 0 and "moe_router" in params["blocks"]
+    _AUX_KEYS = ("lb_loss", "z_loss", "dropped_frac")
+
+    def _aux_zero():
+        return tuple(jnp.zeros((), jnp.float32) for _ in _AUX_KEYS)
+
+    def _aux_add(acc, aux):
+        if aux is None:
+            return acc
+        return tuple(a + aux[k].astype(jnp.float32) for a, k in zip(acc, _AUX_KEYS))
+
+    def _aux_mean(acc):
+        # per-layer mean so the loss weight is depth-independent
+        return {k: a / cfg.num_layers for k, a in zip(_AUX_KEYS, acc)}
 
     def body(carry, xs):
-        h = carry
+        h, acc = carry
         block = xs
-        h, _ = _block_forward(
+        h, _, aux = _block_forward(
             block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
             kv_starts, quant_saves=quant_saves,
         )
-        return h, None
+        return (h, _aux_add(acc, aux)), None
 
     if remat:
         body = jax.checkpoint(
@@ -404,7 +455,7 @@ def decoder_forward(
                 jax.lax.dynamic_index_in_dim(c, i, 0, keepdims=False)
                 for c in cache_arrays
             )
-            h, token_kv = _block_forward(
+            h, token_kv, _ = _block_forward(
                 block, cfg, h, cos, sin, kv_lengths, q_offset, per_layer,
                 use_pallas, kv_starts,
             )
@@ -427,7 +478,7 @@ def decoder_forward(
             for i in range(cfg.num_layers):
                 block = jax.tree_util.tree_map(lambda x: x[i], params["blocks"])
                 per_layer = tuple(c[i] for c in arrays)
-                h, token_kv = _block_forward(
+                h, token_kv, _ = _block_forward(
                     block, cfg, h, cos, sin, kv_lengths, q_offset, per_layer,
                     use_pallas, kv_starts,
                 )
@@ -454,6 +505,7 @@ def decoder_forward(
                 logits = linear(params["lm_head"], hidden)
             out["logits"] = logits.astype(jnp.float32)
         out["taps"] = None
+        out["moe_aux"] = None
         out["cache"] = (
             QuantKVCache(*new_cache_arrays) if quant_cache
             else KVCache(*new_cache_arrays)
@@ -468,16 +520,17 @@ def decoder_forward(
         # Segments scan over LAYER INDICES and gather each block from the full
         # stacked tree — slicing the stacked weights per segment would materialize
         # weight copies (compile-time OOM at 4B scale).
-        def body_idx(h, i):
+        def body_idx(carry, i):
+            h, acc = carry
             block = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
                 params["blocks"],
             )
-            h, _ = _block_forward(
+            h, _, aux = _block_forward(
                 block, cfg, h, cos, sin, kv_lengths, q_offset, None, use_pallas,
                 kv_starts, quant_saves=quant_saves,
             )
-            return h, None
+            return (h, _aux_add(acc, aux)), None
 
         if remat:
             body_idx = jax.checkpoint(
@@ -487,13 +540,15 @@ def decoder_forward(
         boundaries = sorted(set(tap_layers))
         by_layer = {}
         h = inputs_embeds
+        aux_acc = _aux_zero()
         starts = [0] + [l + 1 for l in boundaries]
         ends = [l + 1 for l in boundaries] + [cfg.num_layers]
         for seg_start, seg_end in zip(starts, ends):
             if seg_start == seg_end:
                 continue
-            h, _ = jax.lax.scan(
-                body_idx, h, jnp.arange(seg_start, seg_end, dtype=jnp.int32)
+            (h, aux_acc), _ = jax.lax.scan(
+                body_idx, (h, aux_acc),
+                jnp.arange(seg_start, seg_end, dtype=jnp.int32),
             )
             if seg_end - 1 in boundaries:
                 by_layer[seg_end - 1] = h
@@ -503,12 +558,15 @@ def decoder_forward(
         # segment-boundary carries.
         taps = tuple(by_layer[l] for l in tap_layers)
     else:
-        h = _maybe_pipelined_stack(
+        aux_acc = _aux_zero()
+        h = None if moe_on else _maybe_pipelined_stack(
             params, cfg, inputs_embeds, cos, sin, kv_lengths, kv_starts,
             q_offset, use_pallas, quant_saves, remat, remat_policy,
         )
         if h is None:
-            h, _ = jax.lax.scan(body, inputs_embeds, params["blocks"])
+            (h, aux_acc), _ = jax.lax.scan(
+                body, (inputs_embeds, aux_acc), params["blocks"]
+            )
         taps = None
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
@@ -520,6 +578,7 @@ def decoder_forward(
             logits = linear(params["lm_head"], hidden)
         out["logits"] = logits.astype(jnp.float32)
     out["taps"] = taps if num_taps > 0 else None
+    out["moe_aux"] = _aux_mean(aux_acc) if moe_on else None
     return out
 
 
@@ -556,7 +615,7 @@ def _maybe_pipelined_stack(
             break
 
     def pipe_block(block, hh, args):
-        hh, _ = _block_forward(
+        hh, _, _ = _block_forward(
             block, cfg, hh, args["cos"], args["sin"], args["kv_lengths"],
             q_offset, None, use_pallas, args["kv_starts"],
             quant_saves=quant_saves,

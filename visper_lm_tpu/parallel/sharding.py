@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from visper_lm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from visper_lm_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # (path-regex, spec) — first match wins. Paths look like
 # "decoder/blocks/q_proj/kernel"; stacked block params have a leading layer axis.
@@ -38,6 +38,12 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"decoder/blocks/o_proj/kernel$", P(None, MODEL_AXIS, None)),
     (r"decoder/blocks/(gate_proj|up_proj)/kernel$", P(None, None, MODEL_AXIS)),
     (r"decoder/blocks/down_proj/kernel$", P(None, MODEL_AXIS, None)),
+    # MoE expert banks (L, E, din, dout): experts over 'expert' (matches the
+    # in-graph constraints ops/moe.py applies); router is tiny, replicated
+    (
+        r"decoder/blocks/(moe_gate|moe_up|moe_down)/kernel$",
+        P(None, EXPERT_AXIS, None, None),
+    ),
     # everything else (norms, vision tower, projector, heads, task tokens): replicated
 )
 

@@ -60,7 +60,7 @@ def decoder_act_rms(
         for layer in range(L):
             block = jax.tree.map(lambda x: x[layer], p["blocks"])
             stats: list = []
-            h, _ = _block_forward(
+            h, _, _ = _block_forward(
                 block, cfg, h, cos, sin, None, 0, None, use_pallas=False,
                 stats_out=stats,
             )

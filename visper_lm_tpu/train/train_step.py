@@ -94,6 +94,20 @@ def make_loss_fn(
         metrics: Dict[str, jax.Array] = {"text_loss": text_loss}
         total = text_loss
 
+        moe_aux = out.get("moe_aux")
+        if moe_aux is not None:
+            # Switch-style auxiliaries (per-layer means, ops/moe.py): the
+            # load-balance loss keeps routing uniform, the z-loss keeps router
+            # logits bounded (stabilizes bf16 softmax). Standard coefficients:
+            # moe_aux_weight (0.01) for balance, 1e-3 for z.
+            total = total + (
+                cfg.decoder.moe_aux_weight * moe_aux["lb_loss"]
+                + 1e-3 * moe_aux["z_loss"]
+            )
+            metrics["moe_lb_loss"] = moe_aux["lb_loss"]
+            metrics["moe_z_loss"] = moe_aux["z_loss"]
+            metrics["moe_dropped_frac"] = moe_aux["dropped_frac"]
+
         if cfg.distill is not None and out["taps"] is not None:
             preds = predict_task_embeddings(params, cfg, out["taps"], out["tap_layers"])
 
