@@ -258,3 +258,155 @@ def test_harness_runs_new_tasks_end_to_end():
         [{"question": "what color?", "answer": "Blue.", "image": None}]
     )])
     assert res["gqa"]["exact_match"] == 1.0
+
+
+# -------------------------------------------------------------- ScienceQA-IMG
+
+
+SQA_DOCS = [
+    {"question": "Which is a solid?", "hint": "Think about states of matter.",
+     "choices": ["water", "rock", "steam"], "answer": 1, "image": None},
+    {"question": "Pick the rhyme.", "hint": "",
+     "choices": ["cat", "dog"], "answer": 0, "image": None},
+    {"question": "Largest planet?", "hint": "",
+     "choices": ["Mars", "Jupiter", "Venus", "Pluto"], "answer": 1,
+     "image": None},
+]
+SQA_PREDS = ["B", "A. cat", "Jupiter"]  # letter, 'X. ...' form, raw text (=0)
+
+
+def test_scienceqa_parity():
+    ref = load_task_utils("scienceqa")
+    kwargs = {
+        "format": "default", "pre_prompt": "",
+        "post_prompt": "\nAnswer with the option's letter from the given "
+                       "choices directly.",
+    }
+    for doc, pred in zip(SQA_DOCS, SQA_PREDS):
+        assert lt.sqa_doc_to_text(doc) == ref.sqa_doc_to_text(doc, kwargs), doc
+        assert lt.sqa_doc_to_target(doc) == ref.sqa_doc_to_target(doc)
+        assert lt.sqa_process_results(doc, [pred]) == \
+            ref.sqa_process_results(doc, [pred]), (doc, pred)
+    # the 'B.' prefix quirk: lowercase prefix does NOT count
+    quirk = {"question": "q", "hint": "", "choices": ["x", "y"], "answer": 1,
+             "image": None}
+    for pred in ["B. y", "b. y", "B", "y"]:
+        assert lt.sqa_process_results(quirk, [pred]) == \
+            ref.sqa_process_results(quirk, [pred]), pred
+
+
+# ------------------------------------------------------------------- AI2D
+
+
+def test_ai2d_parity():
+    ref = load_task_utils("ai2d")
+    kwargs = {
+        "prompt_format": "mcq", "pre_prompt": "",
+        "post_prompt": "\nAnswer with the option's letter from the given "
+                       "choices directly.",
+    }
+    doc = {"question": "What is shown?", "options": ["root", "stem", "leaf"],
+           "answer": "2", "image": None}
+    assert lt.ai2d_doc_to_text(doc) == ref.ai2d_doc_to_text(doc, kwargs)
+    # target parity (mcq letter)
+    assert ref.ai2d_doc_to_target(doc, "mcq") == "C"
+    # exact_match with ignore_case + ignore_punctuation
+    assert lt.ai2d_process_results(doc, ["C"])["exact_match"] == 1.0
+    assert lt.ai2d_process_results(doc, ["c."])["exact_match"] == 1.0
+    assert lt.ai2d_process_results(doc, ["B"])["exact_match"] == 0.0
+
+
+# -------------------------------------------------------------- SEED-Bench
+
+
+SEED_DOCS = [
+    {"question": "What is in the image?", "choice_a": "a cat",
+     "choice_b": "a dog", "choice_c": "a car", "choice_d": "a tree",
+     "answer": "B", "data_type": "image", "question_id": 1, "image": []},
+    {"question": "What happens next?", "choice_a": "rain", "choice_b": "sun",
+     "choice_c": "snow", "choice_d": "wind", "answer": "C",
+     "data_type": "video", "question_id": 2, "image": []},
+]
+SEED_PREDS = ["B. a dog", "snow"]  # multi-char -> first char ('s' != 'C')
+
+
+def test_seedbench_parity():
+    ref = load_task_utils("seedbench")
+    mine_all, ref_all = [], []
+    for doc, pred in zip(SEED_DOCS, SEED_PREDS):
+        m = lt.seed_process_results(doc, [pred])
+        r = ref.seed_process_result(doc, [pred])
+        assert set(m) == set(r), (set(m), set(r))
+        for k in m:
+            assert m[k] == r[k], (k, m[k], r[k])
+        mine_all.append(m["seed_all"])
+        ref_all.append(r["seed_all"])
+    assert lt.seed_aggregate(mine_all) == \
+        ref.seed_aggregation_result(ref_all)
+    assert lt.seed_doc_to_text(SEED_DOCS[0]) == ref.seed_doc_to_text(SEED_DOCS[0])
+
+
+# -------------------------------------------------------------- OCRBench
+
+
+OCR_DOCS = [
+    {"question": "What does the sign read?", "answer": "Exit",
+     "dataset": "IIIT5K", "question_type": "Regular Text Recognition",
+     "image": None},
+    {"question": "Total amount?", "answer": ["12.50", "$12.50"],
+     "dataset": "SROIE", "question_type": "Key Information Extraction",
+     "image": None},
+    {"question": "Expression?", "answer": "x ^ 2 + 1",
+     "dataset": "HME100k",
+     "question_type": "Handwritten Mathematical Expression Recognition",
+     "image": None},
+]
+OCR_PREDS = ["the sign reads exit", "it is 12.50 dollars", "x^2+1"]
+
+
+def test_ocrbench_parity():
+    ref = load_task_utils("ocrbench")
+    mine, theirs = [], []
+    for doc, pred in zip(OCR_DOCS, OCR_PREDS):
+        m = lt.ocrbench_process_results(doc, [pred])["ocrbench_accuracy"]
+        r = ref.ocrbench_process_results(doc, [pred])["ocrbench_accuracy"]
+        assert m["score"] == r["score"], (doc, pred)
+        mine.append(m)
+        theirs.append(r)
+    # headline Final Score is the raw correct count (utils.py:103)
+    assert lt.ocrbench_aggregate_accuracy(mine) == \
+        float(sum(r["score"] for r in theirs))
+
+
+# ------------------------------------------------------------ InfoVQA (val)
+
+
+def test_infovqa_anls_parity():
+    from lmms_eval.api.metrics import anls as ref_anls
+
+    cases = [
+        (["Infographic title", "the title"], "infographic title"),
+        (["42%"], "42 %"),
+        (["unanswerable"], "cannot tell"),
+    ]
+    for refs, pred in cases:
+        mine = lt.infovqa_process_results(
+            {"answers": refs, "image": None}, [pred])["anls"]
+        theirs = ref_anls(references=refs, predictions=[pred])["anls"]
+        assert mine == pytest.approx(theirs), (refs, pred)
+
+
+def test_harness_runs_breadth_round2_tasks():
+    lm = _ScriptedLM(SQA_PREDS)
+    res = evaluate(lm, [lt.scienceqa_task(SQA_DOCS)])
+    assert res["scienceqa_img"]["exact_match"] == pytest.approx(2 / 3)
+
+    lm = _ScriptedLM(SEED_PREDS)
+    res = evaluate(lm, [lt.seedbench_task(SEED_DOCS)])
+    assert res["seedbench"]["seed_all"] == pytest.approx(1 / 2)
+    assert res["seedbench"]["seed_image"] == 1.0
+    assert res["seedbench"]["seed_video"] == 0.0
+
+    lm = _ScriptedLM(OCR_PREDS)
+    res = evaluate(lm, [lt.ocrbench_task(OCR_DOCS)])
+    assert res["ocrbench"]["ocrbench_accuracy"] == 3.0

@@ -16,7 +16,16 @@ reference fork's exact scoring semantics (each cites its source):
     second normalization stage (punctuation+digit/article only when the
     ground-truth answer set is non-unanimous);
   * MME (tasks/mme/utils.py): per-category acc + acc_plus (both questions of
-    an image right) scoring, perception/cognition score split.
+    an image right) scoring, perception/cognition score split;
+  * ScienceQA-IMG (tasks/scienceqa/utils.py): llava's letter-or-'X. ...'
+    exact-match quirk;
+  * AI2D (tasks/ai2d/ai2d.yaml): mcq letter match with the hf exact_match
+    ignore_case+ignore_punctuation regularizer;
+  * SEED-Bench (tasks/seedbench/utils.py): first-char prediction parse,
+    per-data_type buckets + seed_all;
+  * OCRBench (tasks/ocrbench/utils.py): substring scoring with the HME100k
+    whitespace-strip quirk; headline score is the correct COUNT;
+  * InfoVQA val (tasks/infovqa/infovqa_val.yaml): ANLS (shared with DocVQA).
 
 Parity-tested against the reference's own utils modules in
 tests/test_lmms_tasks.py (imported read-only, never copied).
@@ -423,6 +432,227 @@ def mme_task(docs: Sequence[dict]) -> TaskConfig:
     )
 
 
+# ------------------------------------------------------------- ScienceQA-IMG
+
+
+def sqa_doc_to_text(doc: dict) -> str:
+    """tasks/scienceqa/utils.py sqa_doc_to_text, default format with the
+    llava prompt kwargs from scienceqa_img.yaml (pre_prompt="",
+    post_prompt=letter instruction)."""
+    context, question, choices = doc["hint"], doc["question"], doc["choices"]
+    options = [chr(ord("A") + i) for i in range(len(choices))]
+    choices_str = "\n".join(
+        f"{o}. {c}" for o, c in zip(options, choices)
+    )
+    if context:
+        context = f"Context: {context}\n"
+    return (
+        f"{context}{question}\n{choices_str}"
+        "\nAnswer with the option's letter from the given choices directly."
+    )
+
+
+def sqa_doc_to_target(doc: dict) -> str:
+    options = [chr(ord("A") + i) for i in range(len(doc["choices"]))]
+    return options[doc["answer"]]
+
+
+def sqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """tasks/scienceqa/utils.py sqa_process_results — quirks preserved: exact
+    letter match, OR an '^[A-Z]\\. ...' answer judged by its first letter;
+    everything else scores 0 (no lowercase/strip regularization)."""
+    target = sqa_doc_to_target(doc)
+    pred = results[0]
+    if pred == target:
+        return {"exact_match": 1.0}
+    if len(pred) >= 2 and pred[0].isupper() and pred[1] == ".":
+        return {"exact_match": 1.0 if pred[0] == target else 0.0}
+    return {"exact_match": 0.0}
+
+
+def scienceqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, hint, choices: [str], answer: int, image(PIL|None)}]
+    (tasks/scienceqa/scienceqa_img.yaml, lmms-lab/ScienceQA-IMG test split)."""
+    return TaskConfig(
+        name="scienceqa_img",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]] if d.get("image") is not None else [],
+        doc_to_text=sqa_doc_to_text,
+        process_results=sqa_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+    )
+
+
+# ------------------------------------------------------------------- AI2D
+
+
+def ai2d_doc_to_text(doc: dict) -> str:
+    """tasks/ai2d/utils.py ai2d_doc_to_text, mcq format (the llava default in
+    ai2d.yaml)."""
+    question, choices = doc["question"], doc["options"]
+    options = [chr(ord("A") + i) for i in range(len(choices))]
+    choices_str = "\n".join(f"{o}. {c}" for o, c in zip(options, choices))
+    return (
+        f"{question}\n{choices_str}"
+        "\nAnswer with the option's letter from the given choices directly."
+    )
+
+
+def ai2d_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """ai2d.yaml metric_list: hf-evaluate exact_match with ignore_case +
+    ignore_punctuation (same regularizer as GQA) against the letter target."""
+    target = chr(ord("A") + int(doc["answer"]))
+    got = _strip_punct_lower(results[0])
+    return {"exact_match": 1.0 if got == _strip_punct_lower(target) else 0.0}
+
+
+def ai2d_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, options: [str], answer: int|str, image(PIL)}]
+    (tasks/ai2d/ai2d.yaml, lmms-lab/ai2d test split)."""
+    return TaskConfig(
+        name="ai2d",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=ai2d_doc_to_text,
+        process_results=ai2d_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+    )
+
+
+# -------------------------------------------------------------- SEED-Bench
+
+
+def seed_doc_to_text(doc: dict) -> str:
+    """tasks/seedbench/utils.py seed_doc_to_text (A-D choices inline)."""
+    q = doc["question"]
+    q += "\n" + f"A. {doc['choice_a']}\n"
+    q += f"B. {doc['choice_b']}\n"
+    q += f"C. {doc['choice_c']}\n"
+    q += f"D. {doc['choice_d']}"
+    return f"{q}\nAnswer with the option's letter from the given choices directly."
+
+
+def seed_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    """tasks/seedbench/utils.py seed_process_result: strip, then take the
+    FIRST CHARACTER of any multi-char answer; records fan out to the
+    per-data_type bucket and seed_all."""
+    pred = results[0].strip()
+    if len(pred) > 1:
+        pred = pred[0]
+    rec = {"pred": pred, "answer": doc["answer"],
+           "question_id": doc["question_id"]}
+    return {f"seed_{doc['data_type']}": rec, "seed_all": rec}
+
+
+def seed_aggregate(results: List[dict]) -> float:
+    correct = sum(1 for r in results if r["pred"] == r["answer"])
+    return correct / max(len(results), 1)
+
+
+def seedbench_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, choice_a..choice_d, answer: 'A'-'D', data_type:
+    image|video, question_id, image: [PIL]}] (tasks/seedbench/seedbench.yaml,
+    lmms-lab/SEED-Bench)."""
+    return TaskConfig(
+        name="seedbench",
+        docs=docs,
+        doc_to_visual=lambda d: list(d["image"]),
+        doc_to_text=seed_doc_to_text,
+        process_results=seed_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            "seed_all": seed_aggregate,
+            "seed_image": seed_aggregate,
+            "seed_video": seed_aggregate,
+        },
+    )
+
+
+# -------------------------------------------------------------- OCRBench
+
+
+OCRBENCH_RECOGNITION_TYPES = (
+    "Regular Text Recognition", "Irregular Text Recognition",
+    "Artistic Text Recognition", "Handwriting Recognition",
+    "Digit String Recognition", "Non-Semantic Text Recognition",
+)
+
+
+def ocrbench_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    """tasks/ocrbench/utils.py ocrbench_process_results: case-folded substring
+    match over possibly-multiple ground truths; the HME100k subset also strips
+    ALL whitespace before matching."""
+    pred = results[0].lower().strip()
+    gt_ans = doc["answer"]
+    answers = gt_ans if isinstance(gt_ans, list) else [gt_ans]
+    score = 0
+    for answer in answers:
+        if doc["dataset"] == "HME100k":
+            a = answer.strip().replace("\n", " ").replace(" ", "")
+            p = pred.strip().replace("\n", " ").replace(" ", "")
+        else:
+            a = answer.lower().strip().replace("\n", " ")
+            p = pred.lower().strip().replace("\n", " ")
+        if a in p:
+            score = 1
+    return {
+        "ocrbench_accuracy": {
+            "question_type": doc["question_type"], "score": score,
+            "prediction": pred, "ground_truth": gt_ans,
+        }
+    }
+
+
+def ocrbench_aggregate_accuracy(results: List[dict]) -> float:
+    """tasks/ocrbench/utils.py ocrbench_aggregate_accuracy: the headline
+    'Final Score' is the raw CORRECT COUNT (out of 1000 on the full set), not
+    a mean. Re-derived functionally — the reference accumulates into a
+    module-level dict, which double-counts across repeated invocations."""
+    return float(sum(r["score"] for r in results))
+
+
+def ocrbench_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answer: str|[str], dataset, question_type, image(PIL)}]
+    (tasks/ocrbench/ocrbench.yaml, echo840/OCRBench test split)."""
+    return TaskConfig(
+        name="ocrbench",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"].strip(),
+        process_results=ocrbench_process_results,
+        generation_kwargs={"max_new_tokens": 128, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={"ocrbench_accuracy": ocrbench_aggregate_accuracy},
+    )
+
+
+# ------------------------------------------------------------ InfoVQA (val)
+
+
+def infovqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """infovqa_val.yaml metric_list: anls vs doc['answers'] (same ANLS as
+    DocVQA, api/metrics.py:191-212)."""
+    return {"anls": anls_score(doc.get("answers") or [], results[0])}
+
+
+def infovqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answers: [str], image(PIL), questionId}]
+    (tasks/infovqa/_default_template_infovqa_yaml, validation split)."""
+    return TaskConfig(
+        name="infovqa_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=infovqa_process_results,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        split="validation",
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -444,4 +674,9 @@ def task_builders() -> Dict[str, Any]:
         "mme": mme_task,
         "docvqa_val": docvqa_task,
         "chartqa": chartqa_task,
+        "scienceqa_img": scienceqa_task,
+        "ai2d": ai2d_task,
+        "seedbench": seedbench_task,
+        "ocrbench": ocrbench_task,
+        "infovqa_val": infovqa_task,
     }
