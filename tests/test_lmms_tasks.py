@@ -410,3 +410,38 @@ def test_harness_runs_breadth_round2_tasks():
     lm = _ScriptedLM(OCR_PREDS)
     res = evaluate(lm, [lt.ocrbench_task(OCR_DOCS)])
     assert res["ocrbench"]["ocrbench_accuracy"] == 3.0
+
+
+# ---------------------------------------------------------- VizWiz-VQA (val)
+
+
+VIZWIZ_DOCS = [
+    {"question_id": 0, "question": "what is this?",
+     "answers": ["a red apple", "apple", "Apple.", "an apple", "apple",
+                 "red apple", "apple", "fruit", "apple", "apple"],
+     "image": None},
+    {"question_id": 1, "question": "what does the label say?",
+     "answers": ["unanswerable"] * 6 + ["can't tell", "unanswerable",
+                                        "unsuitable", "unanswerable"],
+     "image": None},
+]
+VIZWIZ_PREDS = ["an apple", "Unanswerable"]
+
+
+def test_vizwiz_parity():
+    ref = load_task_utils("vizwiz_vqa")
+    for doc, pred in zip(VIZWIZ_DOCS, VIZWIZ_PREDS):
+        mine = lt.vizwiz_process_results(dict(doc), [pred])["exact_match"]
+        # the reference mutates doc['answers'] in place — give it a copy
+        theirs = ref.vizwiz_vqa_process_results(
+            {**doc, "answers": list(doc["answers"])}, [pred]
+        )["exact_match"]
+        assert mine == pytest.approx(theirs), (doc["question_id"], pred)
+    kwargs = {
+        "pre_prompt": "",
+        "post_prompt": "\nWhen the provided information is insufficient, "
+        "respond with 'Unanswerable'.\nAnswer the question using a single "
+        "word or phrase.",
+    }
+    assert lt.vizwiz_doc_to_text(VIZWIZ_DOCS[0]) == \
+        ref.vizwiz_vqa_doc_to_text(VIZWIZ_DOCS[0], kwargs)

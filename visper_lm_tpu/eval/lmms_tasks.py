@@ -653,6 +653,51 @@ def infovqa_task(docs: Sequence[dict]) -> TaskConfig:
     )
 
 
+# ---------------------------------------------------------- VizWiz-VQA (val)
+
+
+def vizwiz_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    """tasks/vizwiz_vqa/utils.py vizwiz_vqa_process_results: EvalAI-process
+    BOTH sides (all ground truths unconditionally, unlike vqav2's conditional
+    second stage), then leave-one-out consensus min(matching/3, 1)."""
+    res_ans = eval_ai_process(results[0])
+    answers = [eval_ai_process(a) for a in (doc.get("answers") or [])]
+    if not answers:
+        return {"exact_match": 0.0}
+    gt_acc = []
+    for i in range(len(answers)):
+        others = [answers[j] for j in range(len(answers)) if j != i]
+        matching = [a for a in others if a == res_ans]
+        gt_acc.append(min(1.0, len(matching) / 3.0))
+    return {"exact_match": statistics.mean(gt_acc)}
+
+
+def vizwiz_doc_to_text(doc: dict) -> str:
+    """vizwiz_vqa_doc_to_text with the default llava prompt kwargs
+    (_default_template_vqa_yaml): question .capitalize()'d + the
+    'Unanswerable' instruction."""
+    return (
+        doc["question"].capitalize()
+        + "\nWhen the provided information is insufficient, respond with "
+        "'Unanswerable'.\nAnswer the question using a single word or phrase."
+    )
+
+
+def vizwiz_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answers: [str], image(PIL), question_id}]
+    (tasks/vizwiz_vqa/vizwiz_vqa_val.yaml, lmms-lab/VizWiz-VQA val split)."""
+    return TaskConfig(
+        name="vizwiz_vqa_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=vizwiz_doc_to_text,
+        process_results=vizwiz_process_results,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        split="val",
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -679,4 +724,5 @@ def task_builders() -> Dict[str, Any]:
         "seedbench": seedbench_task,
         "ocrbench": ocrbench_task,
         "infovqa_val": infovqa_task,
+        "vizwiz_vqa_val": vizwiz_task,
     }
