@@ -445,3 +445,101 @@ def test_vizwiz_parity():
     }
     assert lt.vizwiz_doc_to_text(VIZWIZ_DOCS[0]) == \
         ref.vizwiz_vqa_doc_to_text(VIZWIZ_DOCS[0], kwargs)
+
+
+# ------------------------------------------------------------------- MMMU
+
+
+MMMU_MC_RESPONSES = [
+    "B",                                   # bare letter
+    "(C)",                                 # bracketed
+    "The answer is A.",                    # letter + period
+    "I believe the answer is B because A is wrong",  # two mentions -> last
+    "the correct option is (B), not (A)",  # brackets, last occurrence
+    "it's clearly the pyramid of Giza shown here",   # content match (>5 words)
+    "D.",
+    "A B",                                 # two space-delimited candidates
+]
+MMMU_OPEN_RESPONSES = [
+    "The answer is 42.",
+    "so the result is 3.14159 approximately",
+    "x = 1,250",
+    "therefore the cell is a neuron",
+    "It could be mitosis. Thus the answer is meiosis",
+    "7",
+    "the final answer = -2.5e3",
+    "no indicators here at all",
+]
+
+
+def test_mmmu_parsing_parity():
+    import random as pyrandom
+
+    from visper_lm_tpu.eval import mmmu as mm
+
+    ref = load_task_utils("mmmu")
+    options = ["Eiffel Tower", "Big Ben", "pyramid of Giza", "Colosseum"]
+    letters = ["A", "B", "C", "D"]
+    index2ans = dict(zip(letters, options))
+    for resp in MMMU_MC_RESPONSES:
+        mine = mm.parse_multi_choice_response(resp, letters, index2ans)
+        theirs = ref.parse_multi_choice_response(resp, list(letters),
+                                                 dict(index2ans))
+        assert mine == theirs, resp
+    # the random fallback: same global-`random` draw under the same seed
+    pyrandom.seed(7)
+    mine = mm.parse_multi_choice_response("xyz", letters, index2ans)
+    pyrandom.seed(7)
+    theirs = ref.parse_multi_choice_response("xyz", list(letters),
+                                             dict(index2ans))
+    assert mine == theirs
+
+    for resp in MMMU_OPEN_RESPONSES:
+        assert sorted(map(str, mm.parse_open_response(resp))) == \
+            sorted(map(str, ref.parse_open_response(resp))), resp
+    for s in ["1,234", "3.14", "-2e5", "0.5%", "apple", "B", " x "]:
+        assert mm.normalize_str(s) == ref.normalize_str(s), s
+        assert mm.extract_numbers(s) == ref.extract_numbers(s), s
+
+
+def test_mmmu_scoring_and_aggregation_parity():
+    from visper_lm_tpu.eval import mmmu as mm
+
+    ref = load_task_utils("mmmu")
+    docs = [
+        {"id": "validation_Art_1", "question_type": "multiple-choice",
+         "options": "['red', 'blue', 'green']", "answer": "B",
+         "question": "What color? <image 1>"},
+        {"id": "validation_Art_2", "question_type": "multiple-choice",
+         "options": "['cat', 'dog']", "answer": "A",
+         "question": "Which animal? <image 1>"},
+        {"id": "validation_Math_3", "question_type": "open",
+         "options": "[]", "answer": "42",
+         "question": "Compute. <image 1>"},
+        {"id": "validation_Physics_4", "question_type": "open",
+         "options": "[]", "answer": ["9.8", "9.81"],
+         "question": "g? <image 1>"},
+    ]
+    # NOTE: a short unparseable response ("dog") would hit the RANDOM
+    # fallback on both sides with independent draws — use a >5-word response
+    # so the content-match stage fires deterministically
+    preds = ["The answer is B.", "the animal shown in the picture is a dog",
+             "so we get 42", "about 3.7"]
+    mine_recs, ref_recs = [], []
+    for doc, pred in zip(docs, preds):
+        m = mm.mmmu_process_results(doc, [pred])["mmmu_acc"]
+        r = ref.mmmu_process_results(doc, [pred])["mmmu_acc"]
+        assert m["subdomain"] == r["subdomain"]
+        if isinstance(m["parsed_pred"], list):
+            assert sorted(map(str, m["parsed_pred"])) == \
+                sorted(map(str, r["parsed_pred"]))
+        else:
+            assert m["parsed_pred"] == r["parsed_pred"]
+        mine_recs.append(m)
+        ref_recs.append(r)
+    mine_overall = mm.mmmu_aggregate_results(mine_recs)
+    theirs_overall = ref.mmmu_aggregate_results(ref_recs)
+    assert mine_overall == pytest.approx(theirs_overall)
+    # doc_to_text parity (options literal-string quirk + <image i> replacement)
+    for doc in docs:
+        assert mm.mmmu_doc_to_text(doc) == ref.mmmu_doc_to_text(doc), doc["id"]

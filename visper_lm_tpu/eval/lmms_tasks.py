@@ -725,4 +725,11 @@ def task_builders() -> Dict[str, Any]:
         "ocrbench": ocrbench_task,
         "infovqa_val": infovqa_task,
         "vizwiz_vqa_val": vizwiz_task,
+        "mmmu_val": _mmmu_task,
     }
+
+
+def _mmmu_task(docs):
+    from visper_lm_tpu.eval.mmmu import mmmu_task
+
+    return mmmu_task(docs)
