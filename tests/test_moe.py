@@ -202,3 +202,35 @@ def test_moe_train_loss_includes_aux_and_grads_flow():
         g = np.asarray(grads["blocks"][name]["kernel"], np.float32)
         assert np.all(np.isfinite(g)), name
         assert np.any(g != 0), name
+
+
+def test_moe_banks_stay_dense_under_serving_quantization():
+    """quantize_linear_weights{,_int4} must leave MoE banks raw (ops/moe.py
+    consumes plain kernels) while still quantizing the attention projections;
+    the quantized tree must still run the full forward."""
+    from visper_lm_tpu.models import decoder as decoder_lib
+    from visper_lm_tpu.utils.param import (
+        quantize_linear_weights,
+        quantize_linear_weights_int4,
+    )
+
+    cfg = _moe_decoder_cfg()
+    params = decoder_lib.init_decoder(jax.random.PRNGKey(10), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 6, cfg.hidden_size))
+    ref = decoder_lib.decoder_forward(params, cfg, x)["logits"]
+
+    q8 = quantize_linear_weights(params)
+    for bank in ("moe_router", "moe_gate", "moe_up", "moe_down"):
+        assert "kernel" in q8["blocks"][bank], bank
+        assert "kernel_q8" not in q8["blocks"][bank], bank
+    assert "kernel_q8" in q8["blocks"]["q_proj"]
+    got = decoder_lib.decoder_forward(q8, cfg, x)["logits"]
+    assert got.shape == ref.shape
+    g, r = np.asarray(got).ravel(), np.asarray(ref).ravel()
+    assert np.all(np.isfinite(g))
+    assert np.corrcoef(g, r)[0, 1] > 0.99  # w8a16 drift only
+
+    q4 = quantize_linear_weights_int4(params)
+    for bank in ("moe_router", "moe_gate", "moe_up", "moe_down"):
+        assert "kernel" in q4["blocks"][bank], bank
+        assert "kernel_q4p" not in q4["blocks"][bank], bank

@@ -156,12 +156,17 @@ def quantize_linear_weights(params: Params) -> Params:
             out["bias"] = p["bias"]
         return out
 
-    def walk(tree):
+    def walk(tree, name=None):
         if isinstance(tree, dict):
+            # MoE banks stay dense: ops/moe.py consumes raw kernels via
+            # einsum (no quantized dispatch path yet), so a quantized bank
+            # would KeyError at decode time
+            if name is not None and name.startswith("moe_"):
+                return tree
             q = convert(tree)
             if q is not None:
                 return q
-            return {k: walk(v) for k, v in tree.items()}
+            return {k: walk(v, k) for k, v in tree.items()}
         return tree
 
     return walk(params)
@@ -244,6 +249,9 @@ def quantize_linear_weights_int4(
 
     def walk(tree, name=None):
         if isinstance(tree, dict):
+            # MoE banks stay dense (see quantize_linear_weights)
+            if name is not None and name.startswith("moe_"):
+                return tree
             q = convert(tree, name)
             if q is not None:
                 return q
