@@ -1,0 +1,107 @@
+"""Speculative decoding: greedy-exactness vs the plain target decode,
+acceptance accounting, eos handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visper_lm_tpu.config import DecoderConfig
+from visper_lm_tpu.models.decoder import init_decoder
+from visper_lm_tpu.serve.speculative import (
+    SpeculativeDecoder,
+    greedy_reference_ids,
+)
+
+
+def _cfg(layers: int, seed_dim: int = 64) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=256, hidden_size=seed_dim, num_layers=layers, num_heads=4,
+        num_kv_heads=2, head_dim=16, mlp_dim=seed_dim * 2, dtype="float32",
+        max_seq_len=512,
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    tc = _cfg(4)
+    dc = _cfg(2, seed_dim=32)
+    tp = init_decoder(jax.random.PRNGKey(0), tc)
+    dp = init_decoder(jax.random.PRNGKey(1), dc)
+    return tp, tc, dp, dc
+
+
+def test_speculative_matches_target_greedy_exactly(models):
+    """The guarantee: output tokens == the target's greedy sequence no matter
+    how bad the (independently random) draft is."""
+    tp, tc, dp, dc = models
+    prompt = [5, 17, 101, 33, 7]
+    ref = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=24, max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    for k in (1, 3, 5):
+        spec = SpeculativeDecoder(
+            tp, tc, dp, dc, k=k, max_len=512, cache_dtype=jnp.float32
+        )
+        out, stats = spec.generate(prompt, max_new_tokens=24)
+        assert out == ref, (k, out, ref)
+        assert stats.generated == len(out)
+        assert stats.iterations >= 1
+        # every iteration emits accepted + 1 bonus
+        assert stats.generated >= stats.iterations
+
+
+def test_speculative_self_draft_accepts_everything(models):
+    """Draft == target: every proposal must be accepted, so k+1 tokens come
+    out of every single target pass."""
+    tp, tc, _, _ = models
+    prompt = [9, 42, 250]
+    k = 4
+    spec = SpeculativeDecoder(
+        tp, tc, tp, tc, k=k, max_len=512, cache_dtype=jnp.float32
+    )
+    out, stats = spec.generate(prompt, max_new_tokens=20)
+    ref = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=20, max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    assert out == ref
+    assert stats.acceptance_rate == pytest.approx(1.0)
+    assert stats.tokens_per_target_pass == pytest.approx(k + 1)
+
+
+def test_speculative_eos_stops_mid_chunk(models):
+    """An eos inside an accepted run must cut the output there, exactly like
+    the plain greedy loop."""
+    tp, tc, dp, dc = models
+    prompt = [5, 17, 101, 33, 7]
+    ref_full = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=24, max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    eos = ref_full[7]  # force a stop at the 8th generated token
+    ref = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=24, eos_token_ids=[eos], max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    spec = SpeculativeDecoder(
+        tp, tc, dp, dc, k=4, max_len=512, cache_dtype=jnp.float32
+    )
+    out, _ = spec.generate(prompt, max_new_tokens=24, eos_token_ids=[eos])
+    assert out == ref
+    assert out[-1] == eos
+
+
+def test_speculative_single_token_prompt(models):
+    tp, tc, dp, dc = models
+    prompt = [11]
+    ref = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=8, max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    spec = SpeculativeDecoder(
+        tp, tc, dp, dc, k=2, max_len=512, cache_dtype=jnp.float32
+    )
+    out, _ = spec.generate(prompt, max_new_tokens=8)
+    assert out == ref
