@@ -105,3 +105,44 @@ def test_speculative_single_token_prompt(models):
     )
     out, _ = spec.generate(prompt, max_new_tokens=8)
     assert out == ref
+
+
+# ----------------------------------------------------------- prompt lookup
+
+
+def test_ngram_propose():
+    from visper_lm_tpu.serve.speculative import ngram_propose
+
+    #              0  1  2  3  4  5  6  7
+    history = [10, 20, 30, 40, 10, 20]
+    # last 2-gram (10, 20) recurs at position 0 -> copy 30, 40
+    assert ngram_propose(history, n=2, k=2) == [30, 40]
+    assert ngram_propose(history, n=2, k=5) == [30, 40, 10, 20]
+    # most RECENT match wins
+    h2 = [1, 2, 9, 1, 2, 7, 1, 2]
+    assert ngram_propose(h2, n=2, k=1) == [7]
+    # fallback to shorter suffix when the full n-gram never recurred
+    h3 = [5, 6, 7, 6]
+    assert ngram_propose(h3, n=3, k=1) == [7]  # matches 1-gram [6]
+    # nothing to match
+    assert ngram_propose([1, 2, 3], n=2, k=3) == []
+
+
+def test_prompt_lookup_matches_target_greedy_exactly(models):
+    """Exactness holds whether n-gram proposals hit or miss."""
+    from visper_lm_tpu.serve.speculative import PromptLookupDecoder
+
+    tp, tc, _, _ = models
+    # a repetitive prompt gives the matcher something to copy
+    prompt = [5, 17, 101, 33, 5, 17, 101, 33, 5, 17]
+    ref = greedy_reference_ids(
+        tp, tc, prompt, max_new_tokens=20, max_len=512,
+        cache_dtype=jnp.float32,
+    )
+    for k, n in ((4, 2), (8, 3)):
+        dec_ = PromptLookupDecoder(
+            tp, tc, k=k, ngram=n, max_len=512, cache_dtype=jnp.float32
+        )
+        out, stats = dec_.generate(prompt, max_new_tokens=20)
+        assert out == ref, (k, n, out, ref)
+        assert stats.generated == len(out)

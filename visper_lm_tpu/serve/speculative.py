@@ -176,6 +176,111 @@ class SpeculativeDecoder:
         return dec.init_kv_cache(cfg, 1, self.max_len, dtype=self.cache_dtype)
 
 
+def ngram_propose(
+    history: Sequence[int], n: int, k: int, min_match: int = 1
+) -> List[int]:
+    """Prompt-lookup proposal: find the MOST RECENT earlier occurrence of the
+    last `n`-gram (falling back to shorter suffixes down to `min_match`) in
+    `history` and copy up to k following tokens. Returns [] when nothing
+    matches — the caller degrades to a plain target step."""
+    h = list(history)
+    for m in range(min(n, len(h) - 1), min_match - 1, -1):
+        suffix = h[-m:]
+        # scan right-to-left over prior positions (most recent match wins)
+        for start in range(len(h) - m - 1, -1, -1):
+            if h[start:start + m] == suffix:
+                cont = h[start + m : start + m + k]
+                if cont:
+                    return cont
+    return []
+
+
+class PromptLookupDecoder:
+    """Draft-FREE speculative decoding: proposals come from n-gram matches
+    against the token history (prompt + generated) instead of a draft model.
+
+    Multimodal serving prompts are long and answers are often extractive
+    (OCR reads, DocVQA spans, option letters echoed from the choices), so the
+    continuation of the current n-gram frequently already sits in the prompt.
+    Zero extra weights, zero draft passes — an iteration costs ONE target
+    chunk forward whether it verifies 1 or k+1 positions. Greedy-exact like
+    SpeculativeDecoder (same verify rule)."""
+
+    def __init__(
+        self,
+        target_params: Any,
+        target_cfg: DecoderConfig,
+        *,
+        k: int = 8,
+        ngram: int = 3,
+        max_len: int = 2048,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.tp, self.tc = target_params, target_cfg
+        self.k, self.n = k, ngram
+        self.max_len = -(-max_len // 128) * 128
+        self.cache_dtype = cache_dtype
+        self._chunk_fwd = jax.jit(
+            self._chunk_fwd_impl, donate_argnums=(2,)
+        )
+
+    def _chunk_fwd_impl(self, params, tokens, cache, q_offset):
+        emb = dec.embed_tokens(params, tokens)
+        out = dec.decoder_forward(
+            params, self.tc, emb,
+            kv_lengths=q_offset[None] + tokens.shape[1],
+            cache=cache, q_offset=q_offset,
+        )
+        return jnp.argmax(out["logits"], axis=-1)[0], out["cache"]
+
+    def _fwd(self, tokens, cache, offset):
+        toks = jnp.asarray(np.asarray(tokens, np.int32)[None, :])
+        g, cache = self._chunk_fwd(self.tp, toks, cache, jnp.int32(offset))
+        return np.asarray(g), cache
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        *,
+        max_new_tokens: int = 128,
+        eos_token_ids: Sequence[int] = (),
+    ) -> Tuple[List[int], SpecStats]:
+        prompt = list(map(int, prompt_ids))
+        assert prompt, "empty prompt"
+        assert len(prompt) + max_new_tokens + self.k + 1 <= self.max_len
+        eos = set(map(int, eos_token_ids))
+
+        cache = dec.init_kv_cache(self.tc, 1, self.max_len,
+                                  dtype=self.cache_dtype)
+        p = len(prompt) - 1
+        if p:
+            _, cache = self._fwd(prompt[:-1], cache, 0)
+        last = prompt[-1]
+
+        out: List[int] = []
+        stats = SpecStats()
+        while len(out) < max_new_tokens:
+            history = prompt + out
+            drafts = ngram_propose(history, self.n, self.k)
+            greedy, cache = self._fwd([last] + drafts, cache, p)
+            n = 0
+            while n < len(drafts) and drafts[n] == int(greedy[n]):
+                n += 1
+            emitted = drafts[:n] + [int(greedy[n])]
+
+            stats.proposed += len(drafts)
+            stats.accepted += n
+            stats.iterations += 1
+            for e in emitted:
+                out.append(e)
+                stats.generated += 1
+                if e in eos or len(out) >= max_new_tokens:
+                    return out, stats
+            p += n + 1
+            last = out[-1]
+        return out, stats
+
+
 def greedy_reference_ids(
     params: Any,
     cfg: DecoderConfig,
