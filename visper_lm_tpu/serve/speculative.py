@@ -1,5 +1,10 @@
-"""Speculative (draft/verify) greedy decoding — the decode-floor lever past
-weight/KV quantization.
+"""Speculative (draft/verify) decoding — the decode-floor lever past
+weight/KV quantization. Greedy by default; with ``temperature > 0`` it runs
+speculative SAMPLING (Leviathan et al.'s rejection scheme): each drafted
+token is accepted with probability min(1, p(x)/q(x)) and a rejection
+resamples from normalize(max(p - q, 0)), which makes the OUTPUT DISTRIBUTION
+exactly the target model's (warped) sampling distribution regardless of the
+draft — pinned statistically in tests/test_speculative.py.
 
 Single-chip decode is weight-streaming-bound (~380 GB/s effective on v5e, see
 docs/Design.md): every generated token pays one full read of the target
@@ -59,8 +64,62 @@ class SpecStats:
         return self.generated / self.iterations if self.iterations else 0.0
 
 
+def _safe_log(probs: jax.Array) -> jax.Array:
+    """log(probs) with exact -inf (not a huge negative) at zero entries, so
+    top-p-excluded tokens can never be drawn by jax.random.categorical."""
+    return jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
+
+
+def warp_probs(logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
+    """Temperature + nucleus warp -> probabilities over the last axis. Same
+    semantics as serve/generate._sample_tokens (cutoff keeps the smallest
+    prefix of descending-prob tokens whose cumulative mass reaches top_p)."""
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def spec_accept(
+    p: jax.Array, q: jax.Array, d: jax.Array, key: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """The speculative-sampling accept/resample rule, fully on device.
+
+    p: (k+1, V) target probs at the k drafted positions plus the bonus slot;
+    q: (k, V) draft probs the proposals were sampled from; d: (k,) proposals.
+    Returns (n, fixup): n = accepted prefix length in [0, k]; fixup = the one
+    extra emitted token — a residual resample at position n when n < k, else
+    the bonus sample from p[k]. Output tokens d[:n] + [fixup] are distributed
+    exactly as k_eff+1 draws from the target's autoregressive distribution.
+    """
+    k = d.shape[0]
+    ku, kr, kb = jax.random.split(key, 3)
+    bonus = jax.random.categorical(kb, _safe_log(p[-1]))
+    if k == 0:  # draft-free iteration (e.g. no n-gram match): pure target step
+        return jnp.int32(0), bonus
+    idx = jnp.arange(k)
+    # accept iff u < p(x)/q(x)  <=>  u*q < p (robust when q(x) underflows)
+    u = jax.random.uniform(ku, (k,), dtype=jnp.float32)
+    accept = u * q[idx, d] < p[idx, d]
+    # first rejected position == number of leading accepts (sentinel => k)
+    n = jnp.argmin(jnp.concatenate([accept, jnp.zeros((1,), bool)]))
+    res = jnp.maximum(p[:k] - q, 0.0)
+    res_sum = jnp.sum(res, axis=-1, keepdims=True)
+    # residual mass is provably > 0 whenever a rejection can occur; the
+    # where() only guards float underflow on near-identical p, q
+    res = jnp.where(res_sum > 1e-12, res / jnp.maximum(res_sum, 1e-20), p[:k])
+    resample = jax.random.categorical(kr, _safe_log(res[jnp.minimum(n, k - 1)]))
+    fixup = jnp.where(n < k, resample, bonus)
+    return n.astype(jnp.int32), fixup
+
+
 class SpeculativeDecoder:
-    """Compiled draft/verify greedy decoder for one sequence (batch 1)."""
+    """Compiled draft/verify decoder for one sequence (batch 1): greedy-exact
+    at temperature 0, distribution-exact speculative sampling above it."""
 
     def __init__(
         self,
@@ -72,6 +131,8 @@ class SpeculativeDecoder:
         k: int = 4,
         max_len: int = 2048,
         cache_dtype=jnp.bfloat16,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
     ):
         assert target_cfg.vocab_size == draft_cfg.vocab_size, (
             "draft and target must share the tokenizer/vocab"
@@ -83,6 +144,9 @@ class SpeculativeDecoder:
         # multiple of 128 for well-tiled KV blocks (serve/generate.py:126-129)
         self.max_len = -(-max_len // 128) * 128
         self.cache_dtype = cache_dtype
+        # static per instance so the warp branch bakes into the compiled fns
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
 
         # one compiled program per (params-structure, chunk length); donation
         # keeps each cache single-buffered (serve/generate.py:146-149). params
@@ -92,6 +156,8 @@ class SpeculativeDecoder:
             self._chunk_fwd_impl, donate_argnums=(2,),
             static_argnames=("is_target",),
         )
+        self._draft_sample = jax.jit(self._draft_sample_impl, donate_argnums=(2,))
+        self._verify_sample = jax.jit(self._verify_sample_impl, donate_argnums=(2,))
 
     def _chunk_fwd_impl(self, params, tokens, cache, q_offset, *,
                         is_target: bool):
@@ -114,14 +180,45 @@ class SpeculativeDecoder:
         )
         return np.asarray(greedy), cache
 
+    def _draft_sample_impl(self, params, tokens, cache, q_offset, key):
+        """One draft step: sample next token AND return the warped draft
+        distribution it was drawn from (the q row spec_accept needs)."""
+        emb = dec.embed_tokens(params, tokens)
+        out = dec.decoder_forward(
+            params, self.dc, emb,
+            kv_lengths=q_offset[None] + tokens.shape[1],
+            cache=cache, q_offset=q_offset,
+        )
+        probs = warp_probs(out["logits"][0, -1], self.temperature, self.top_p)
+        tok = jax.random.categorical(key, _safe_log(probs))
+        return tok, probs, out["cache"]
+
+    def _verify_sample_impl(self, params, tokens, cache, q_offset,
+                            q_probs, d_tokens, key):
+        """Target verify chunk + on-device accept/resample: no (k+1, V)
+        distribution ever leaves the chip, only (n, fixup) scalars do."""
+        emb = dec.embed_tokens(params, tokens)
+        out = dec.decoder_forward(
+            params, self.tc, emb,
+            kv_lengths=q_offset[None] + tokens.shape[1],
+            cache=cache, q_offset=q_offset,
+        )
+        p = warp_probs(out["logits"][0], self.temperature, self.top_p)
+        n, fixup = spec_accept(p, q_probs, d_tokens, key)
+        return n, fixup, out["cache"]
+
     def generate(
         self,
         prompt_ids: Sequence[int],
         *,
         max_new_tokens: int = 128,
         eos_token_ids: Sequence[int] = (),
+        seed: int = 0,
     ) -> Tuple[List[int], SpecStats]:
-        """Greedy-exact speculative decode. Returns (generated_ids, stats)."""
+        """Speculative decode: greedy-exact (temperature 0) or
+        distribution-exact sampling. Returns (generated_ids, stats)."""
+        sampling = self.temperature > 0.0
+        key = jax.random.PRNGKey(seed)
         prompt = list(map(int, prompt_ids))
         assert prompt, "empty prompt"
         assert len(prompt) + max_new_tokens + self.k + 1 <= self.max_len, (
@@ -146,18 +243,41 @@ class SpeculativeDecoder:
         while len(out) < max_new_tokens:
             # ---- draft k proposals (k+1 steps; see module docstring) ----
             drafts: List[int] = []
+            q_rows: List[jax.Array] = []
             tok = last
             for i in range(self.k + 1):
-                g, d_cache = self._fwd([tok], d_cache, p + i, False)
-                if i < self.k:
-                    drafts.append(int(g[0]))
-                    tok = drafts[-1]
+                if sampling:
+                    key, sub = jax.random.split(key)
+                    g, probs, d_cache = self._draft_sample(
+                        self.dp, jnp.asarray([[tok]], jnp.int32),
+                        d_cache, jnp.int32(p + i), sub,
+                    )
+                    if i < self.k:
+                        drafts.append(int(g))
+                        q_rows.append(probs)
+                        tok = drafts[-1]
+                else:
+                    g, d_cache = self._fwd([tok], d_cache, p + i, False)
+                    if i < self.k:
+                        drafts.append(int(g[0]))
+                        tok = drafts[-1]
             # ---- one target pass verifies all k+1 positions ----
-            greedy, t_cache = self._fwd([last] + drafts, t_cache, p, True)
-            n = 0
-            while n < self.k and drafts[n] == int(greedy[n]):
-                n += 1
-            emitted = drafts[:n] + [int(greedy[n])]
+            if sampling:
+                key, sub = jax.random.split(key)
+                n_dev, fixup, t_cache = self._verify_sample(
+                    self.tp,
+                    jnp.asarray([[last] + drafts], jnp.int32),
+                    t_cache, jnp.int32(p),
+                    jnp.stack(q_rows), jnp.asarray(drafts, jnp.int32), sub,
+                )
+                n = int(n_dev)
+                emitted = drafts[:n] + [int(fixup)]
+            else:
+                greedy, t_cache = self._fwd([last] + drafts, t_cache, p, True)
+                n = 0
+                while n < self.k and drafts[n] == int(greedy[n]):
+                    n += 1
+                emitted = drafts[:n] + [int(greedy[n])]
 
             stats.proposed += self.k
             stats.accepted += n
@@ -215,14 +335,19 @@ class PromptLookupDecoder:
         ngram: int = 3,
         max_len: int = 2048,
         cache_dtype=jnp.bfloat16,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
     ):
         self.tp, self.tc = target_params, target_cfg
         self.k, self.n = k, ngram
         self.max_len = -(-max_len // 128) * 128
         self.cache_dtype = cache_dtype
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
         self._chunk_fwd = jax.jit(
             self._chunk_fwd_impl, donate_argnums=(2,)
         )
+        self._verify_sample = jax.jit(self._verify_sample_impl, donate_argnums=(2,))
 
     def _chunk_fwd_impl(self, params, tokens, cache, q_offset):
         emb = dec.embed_tokens(params, tokens)
@@ -232,6 +357,22 @@ class PromptLookupDecoder:
             cache=cache, q_offset=q_offset,
         )
         return jnp.argmax(out["logits"], axis=-1)[0], out["cache"]
+
+    def _verify_sample_impl(self, params, tokens, cache, q_offset,
+                            d_tokens, key):
+        """A deterministic n-gram proposal is a point-mass draft distribution:
+        q = one_hot(d), so accept prob collapses to p(d) and the residual is
+        p with the proposed token zeroed — still distribution-exact."""
+        emb = dec.embed_tokens(params, tokens)
+        out = dec.decoder_forward(
+            params, self.tc, emb,
+            kv_lengths=q_offset[None] + tokens.shape[1],
+            cache=cache, q_offset=q_offset,
+        )
+        p = warp_probs(out["logits"][0], self.temperature, self.top_p)
+        q = jax.nn.one_hot(d_tokens, self.tc.vocab_size, dtype=jnp.float32)
+        n, fixup = spec_accept(p, q, d_tokens, key)
+        return n, fixup, out["cache"]
 
     def _fwd(self, tokens, cache, offset):
         toks = jnp.asarray(np.asarray(tokens, np.int32)[None, :])
@@ -244,7 +385,10 @@ class PromptLookupDecoder:
         *,
         max_new_tokens: int = 128,
         eos_token_ids: Sequence[int] = (),
+        seed: int = 0,
     ) -> Tuple[List[int], SpecStats]:
+        sampling = self.temperature > 0.0
+        key = jax.random.PRNGKey(seed)
         prompt = list(map(int, prompt_ids))
         assert prompt, "empty prompt"
         assert len(prompt) + max_new_tokens + self.k + 1 <= self.max_len
@@ -262,11 +406,22 @@ class PromptLookupDecoder:
         while len(out) < max_new_tokens:
             history = prompt + out
             drafts = ngram_propose(history, self.n, self.k)
-            greedy, cache = self._fwd([last] + drafts, cache, p)
-            n = 0
-            while n < len(drafts) and drafts[n] == int(greedy[n]):
-                n += 1
-            emitted = drafts[:n] + [int(greedy[n])]
+            if sampling:
+                key, sub = jax.random.split(key)
+                n_dev, fixup, cache = self._verify_sample(
+                    self.tp,
+                    jnp.asarray([[last] + drafts], jnp.int32),
+                    cache, jnp.int32(p),
+                    jnp.asarray(drafts, jnp.int32), sub,
+                )
+                n = int(n_dev)
+                emitted = drafts[:n] + [int(fixup)]
+            else:
+                greedy, cache = self._fwd([last] + drafts, cache, p)
+                n = 0
+                while n < len(drafts) and drafts[n] == int(greedy[n]):
+                    n += 1
+                emitted = drafts[:n] + [int(greedy[n])]
 
             stats.proposed += len(drafts)
             stats.accepted += n
