@@ -194,3 +194,73 @@ def test_decoder_kv_cache_parity_with_hf_generate(torch_no_grad):
         tok = jnp.argmax(out["logits"][:, 0], -1)
         got.append(int(tok[0]))
     assert got == hf_out.tolist(), (got, hf_out.tolist())
+
+
+def test_beam_search_parity_with_hf_generate(torch_no_grad):
+    """num_beams=3 continuation parity vs HF generate on imported weights
+    (no reachable EOS: pure score-ranking/reordering parity)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=16, mlp_dim=64, rope_theta=10000.0, max_seq_len=64,
+        family="llama", dtype="float32",
+    )
+    params = to_jax(import_decoder(torch_state_dict_to_numpy(hf.state_dict()), cfg))
+
+    prompt = [5, 9, 11, 42]
+    ref = hf.generate(
+        torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+        num_beams=3, pad_token_id=0, eos_token_id=None,
+    ).numpy()[0, len(prompt):].tolist()
+
+    from visper_lm_tpu.serve.beam import BeamSearchDecoder
+
+    beam = BeamSearchDecoder(params, cfg, num_beams=3, max_len=128,
+                             cache_dtype=jnp.float32)
+    got, score = beam.generate(prompt, max_new_tokens=6)
+    assert got == ref, (got, ref)
+    assert np.isfinite(score)
+
+
+def test_beam_search_single_beam_is_greedy(torch_no_grad):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from visper_lm_tpu.serve.beam import BeamSearchDecoder
+    from visper_lm_tpu.serve.speculative import greedy_reference_ids
+
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=2,
+        head_dim=16, mlp_dim=64, rope_theta=10000.0, max_seq_len=64,
+        family="llama", dtype="float32",
+    )
+    params = to_jax(import_decoder(torch_state_dict_to_numpy(hf.state_dict()), cfg))
+
+    prompt = [7, 3, 88]
+    ref = greedy_reference_ids(params, cfg, prompt, max_new_tokens=10,
+                               max_len=128, cache_dtype=jnp.float32)
+    beam = BeamSearchDecoder(params, cfg, num_beams=1, max_len=128,
+                             cache_dtype=jnp.float32)
+    got, _ = beam.generate(prompt, max_new_tokens=10)
+    assert got == ref, (got, ref)
+
+    # an EOS planted on the greedy path must terminate the beam there too
+    eos_tok = ref[4]
+    got_eos, _ = beam.generate(prompt, max_new_tokens=10,
+                               eos_token_ids=[eos_tok])
+    assert got_eos == ref[:4], (got_eos, ref)
