@@ -1,0 +1,178 @@
+"""Secondary benchmark: continuous-batching engine vs batch-loop serving.
+
+Two measurements on the flagship decode config (phi3 + int8 KV + w8a16):
+
+  1. steady-state engine decode step (all slots busy, per-slot positions +
+     scatter cache writes) vs the Generator's uniform-position step — the
+     scatter must not cost a cache copy;
+  2. a mixed-length workload served end-to-end: engine (slots refill the
+     moment a request retires) vs the reference-style batch loop (every batch
+     waits for its longest member). The engine's win is the recovered bubble.
+
+Not wired into the driver; run manually:
+    python bench_engine.py [--slots 8] [--requests 32] [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--max-len", type=int, default=1536)
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from visper_lm_tpu.config import phi3_clip_vlm, tiny_test_vlm
+    from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.serve.engine import Engine, EngineConfig, Request
+    from visper_lm_tpu.serve.generate import (
+        GenerationConfig, Generator, left_pad_plans,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = tiny_test_vlm(distill=True) if args.smoke else phi3_clip_vlm(distill=True)
+    B = 2 if args.smoke else args.slots
+    n_req = 6 if args.smoke else args.requests
+    max_len = 256 if args.smoke else args.max_len
+    kvq = on_tpu
+    wq = on_tpu
+
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    def make_plan(prompt_tokens: int):
+        return build_splice_plan(
+            list(rng.integers(3, cfg.decoder.vocab_size - 10,
+                              size=cfg.num_sys_tokens))
+            + [IMAGE_TOKEN_INDEX]
+            + list(rng.integers(3, cfg.decoder.vocab_size - 10,
+                                size=prompt_tokens)),
+            None, max_len,
+            num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens,
+            num_tasks=len(cfg.distill.task_order()),
+        )
+
+    size = cfg.vision.image_size
+    # mixed workload: short/medium/long answers like a real eval queue
+    lo, hi = (4, 12) if args.smoke else (8, 128)
+    reqs_spec = [
+        (make_plan(int(rng.integers(16, 64))),
+         rng.normal(size=(1, size, size, 3)).astype(np.float32),
+         int(rng.integers(lo, hi)))
+        for _ in range(n_req)
+    ]
+
+    # ---- 1. steady-state step-time comparison -----------------------------
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+    ))
+    for i in range(B):
+        plan, im, _ = reqs_spec[i % n_req]
+        eng.submit(Request(plan=plan, images=im, max_new_tokens=10 ** 9, uid=i))
+    eng.step()  # admits + compiles the step
+    n_time = 4 if args.smoke else 32
+    t0 = time.perf_counter()
+    for _ in range(n_time):
+        eng.step()
+    float(jnp.sum(eng.tokens))
+    eng_step_ms = 1000 * (time.perf_counter() - t0) / n_time
+
+    prompt_pad = 128
+    gbatch = left_pad_plans([r[0] for r in reqs_spec[:B]], prompt_pad)
+    gbatch["images"] = np.concatenate([r[1] for r in reqs_spec[:B]])
+    gen = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=64, decode_chunk=8, kv_quant=kvq, weight_quant=wq,
+    ), B, prompt_pad)
+    jb = {k: jnp.asarray(v) for k, v in gbatch.items()}
+    logits, cache = gen._prefill(gen.params, jb)
+    token = jnp.argmax(logits, axis=-1)
+    key = jax.random.PRNGKey(0)
+    toks, cache = gen._step(gen.params, cache, token, jnp.int32(0),
+                            jb["pad_offsets"], key)  # warm
+    t0 = time.perf_counter()
+    for i in range(n_time):
+        toks, cache = gen._step(gen.params, cache, token, jnp.int32(8 * (i + 1)),
+                                jb["pad_offsets"], key)
+    float(jnp.sum(toks))
+    gen_step_ms = 1000 * (time.perf_counter() - t0) / (n_time * 8)
+    del toks, cache, logits, gen
+
+    # ---- 2. end-to-end mixed workload --------------------------------------
+    eng2 = Engine(params, cfg, EngineConfig(
+        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+    ))
+    reqs = [Request(plan=pl, images=im, max_new_tokens=mn, uid=i)
+            for i, (pl, im, mn) in enumerate(reqs_spec)]
+    t0 = time.perf_counter()
+    finished = eng2.run(reqs)
+    eng_e2e_s = time.perf_counter() - t0
+    n_tok = sum(len(r.output_ids) for r in finished)
+    occupancy = eng2.stats["slot_steps"] / max(eng2.stats["steps"] * B, 1)
+
+    # reference-style batch loop: fixed batches, each waits for its longest.
+    # ONE compiled Generator drives every batch (prefill + ceil(max/chunk)
+    # chunks) so the comparison is pure scheduling, not compile time.
+    g = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=hi, decode_chunk=8, kv_quant=kvq, weight_quant=wq,
+    ), B, prompt_pad)
+    t0 = time.perf_counter()
+    loop_tok = 0
+    for i in range(0, n_req, B):
+        chunk = reqs_spec[i:i + B]
+        while len(chunk) < B:
+            chunk.append(chunk[-1])
+        batch = left_pad_plans([c[0] for c in chunk], prompt_pad)
+        batch["images"] = np.concatenate([c[1] for c in chunk])
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        logits, cache = g._prefill(g.params, jb)
+        token = jnp.argmax(logits, axis=-1)
+        batch_max = max(c[2] for c in reqs_spec[i:i + B])
+        n_chunks = -(-(batch_max - 1) // 8)
+        for ci in range(n_chunks):
+            toks, cache = g._step(g.params, cache, token, jnp.int32(8 * ci),
+                                  jb["pad_offsets"], key)
+            token = toks[-1]
+        float(jnp.sum(token))
+        loop_tok += sum(c[2] for c in reqs_spec[i:i + B])
+        del cache
+    loop_e2e_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "engine_decode_tokens_per_sec",
+        "value": round(n_tok / eng_e2e_s, 2),
+        "unit": "tokens/s",
+        "engine_step_ms": round(eng_step_ms, 2),
+        "generator_step_ms": round(gen_step_ms, 2),
+        "scatter_overhead_pct": round(
+            100 * (eng_step_ms - gen_step_ms) / max(gen_step_ms, 1e-9), 1),
+        "slots": B,
+        "requests": n_req,
+        "engine_e2e_s": round(eng_e2e_s, 2),
+        "batch_loop_e2e_s": round(loop_e2e_s, 2),
+        "batch_loop_tokens_per_sec": round(loop_tok / loop_e2e_s, 2),
+        "speedup_vs_batch_loop": round(loop_e2e_s / eng_e2e_s, 2),
+        "slot_occupancy": round(occupancy, 3),
+        "kv_quant": kvq, "weight_quant": bool(wq),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -446,7 +446,27 @@ def decoder_forward(
         # xs/ys instead — the obvious formulation — makes the scan REWRITE the
         # whole cache into a fresh stacked buffer every decode step (measured:
         # 2 GiB defensive copies per step at B16, the decode memory ceiling).
-        start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
+        #
+        # q_offset may be a (B,) array (continuous-batching engine: each slot
+        # sits at its own sequence position) — then the new-token slab lands at
+        # a per-sample slot via a tiny scatter instead of one contiguous DUS.
+        per_sample = not isinstance(q_offset, int) and jnp.ndim(q_offset) >= 1
+        if per_sample:
+            starts = jnp.asarray(q_offset).astype(jnp.int32)      # (B,)
+        else:
+            start = jnp.asarray(q_offset).reshape(()).astype(jnp.int32)
+
+        def _write_new_kv(c, layer, u):
+            """Write u (T, B, ...) into c (L, S, B, ...) at [layer, start(+b)]."""
+            if not per_sample:
+                return jax.lax.dynamic_update_slice(
+                    c, u[None].astype(c.dtype),
+                    (layer, start) + (0,) * (c.ndim - 2),
+                )
+            t_, b_ = u.shape[0], u.shape[1]
+            pos = starts[None, :] + jnp.arange(t_, dtype=jnp.int32)[:, None]
+            bidx = jnp.broadcast_to(jnp.arange(b_)[None, :], (t_, b_))
+            return c.at[layer, pos, bidx].set(u.astype(c.dtype), mode="drop")
 
         def body_cache(carry, xs):
             h, cache_arrays = carry
@@ -460,11 +480,7 @@ def decoder_forward(
                 use_pallas, kv_starts,
             )
             new_arrays = tuple(
-                jax.lax.dynamic_update_slice(
-                    c, u[None].astype(c.dtype),
-                    (i, start) + (0,) * (c.ndim - 2),
-                )
-                for c, u in zip(cache_arrays, token_kv)
+                _write_new_kv(c, i, u) for c, u in zip(cache_arrays, token_kv)
             )
             return (h, new_arrays), None
 
@@ -483,10 +499,7 @@ def decoder_forward(
                     use_pallas, kv_starts,
                 )
                 arrays = tuple(
-                    jax.lax.dynamic_update_slice(
-                        c, u[None].astype(c.dtype),
-                        (jnp.int32(i), start) + (0,) * (c.ndim - 2),
-                    )
+                    _write_new_kv(c, jnp.int32(i), u)
                     for c, u in zip(arrays, token_kv)
                 )
             new_cache_arrays = arrays

@@ -1,0 +1,311 @@
+"""Continuous-batching serving engine: slot-based KV cache + in-flight joins.
+
+The reference serves requests one batch at a time (demo.py / eval loaders:
+build a batch, generate, wait for the LONGEST sample, repeat). This engine is
+the TPU-native production upgrade — the vLLM/JetStream serving model mapped
+onto XLA's static-shape world:
+
+  * a fixed pool of decode SLOTS (the jitted decode step's batch dimension
+    never changes, so the step compiles exactly once);
+  * each slot holds one in-flight request at its OWN sequence position — the
+    decoder writes new K/V at per-slot cache positions (a tiny scatter,
+    models/decoder.py `_write_new_kv`) and masks per-slot valid ranges
+    (ops/attention.mha_xla_cache takes a (B,) cache_len);
+  * when a request finishes, its slot is refilled from the queue IMMEDIATELY —
+    a single-request prefill runs at batch 1 (bucketed prompt lengths keep the
+    compile count finite) and its K/V slab is inserted into the shared cache
+    with one donated dynamic-update-slice;
+  * no request ever waits for the rest of the batch, and the decode batch
+    stays full: throughput tracks slot-count, latency tracks own-length.
+
+Everything host-side (queueing, eos/stop-string detection, slot recycling) is
+plain Python; everything per-token is inside three jitted programs (prefill,
+insert, step) with donated buffers, so steady-state serving is one host
+round-trip per decode step.
+
+Reference parity anchor: replaces the batch-loop serving in
+`/root/reference/ola_vlm/eval/model_cvbench_loader.py:118-170` and
+`/root/reference/demo.py` — a capability the reference does not have.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visper_lm_tpu.config import VLMConfig
+from visper_lm_tpu.data.collate import SplicePlan
+from visper_lm_tpu.models import decoder as dec
+from visper_lm_tpu.models.vlm import encode_images, splice_embeddings
+from visper_lm_tpu.serve.generate import GenerationConfig, left_pad_plans, _sample_tokens
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    num_slots: int = 8                 # decode batch width (compiled once)
+    max_len: int = 2048                # shared KV cache length per slot
+    prompt_bucket: int = 128           # prompt lengths round up to a multiple
+    temperature: float = 0.0
+    top_p: float = 1.0
+    kv_quant: bool = False             # int8 KV cache (same tradeoff as Generator)
+    weight_quant: object = False       # False | True/"int8" | "int4"
+    calibration: object = None
+
+
+@dataclasses.dataclass
+class Request:
+    plan: SplicePlan
+    images: Optional[np.ndarray] = None        # (1, H, W, 3) or None (text-only)
+    image_features: Optional[np.ndarray] = None
+    max_new_tokens: int = 128
+    eos_token_ids: Tuple[int, ...] = ()
+    stop_strings: Tuple[str, ...] = ()
+    uid: Any = None
+    # filled by the engine:
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    submit_t: float = 0.0
+    first_token_t: float = 0.0
+    done_t: float = 0.0
+
+
+class Engine:
+    """Continuous-batching decode engine over a shared slot-major KV cache."""
+
+    def __init__(self, params: Any, cfg: VLMConfig, ecfg: EngineConfig,
+                 tokenizer=None):
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.tokenizer = tokenizer
+        self.params = params
+        if ecfg.weight_quant:
+            from visper_lm_tpu.utils.param import (
+                quantize_linear_weights,
+                quantize_linear_weights_int4,
+            )
+
+            self.params = dict(params)
+            if ecfg.weight_quant == "int4":
+                import functools
+
+                q = functools.partial(
+                    quantize_linear_weights_int4, act_rms=ecfg.calibration
+                )
+            else:
+                q = quantize_linear_weights
+            self.params["decoder"] = q(self.params["decoder"])
+
+        B, S = ecfg.num_slots, ecfg.max_len
+        if ecfg.kv_quant:
+            self.cache = dec.init_quant_kv_cache(cfg.decoder, B, S)
+        else:
+            self.cache = dec.init_kv_cache(cfg.decoder, B, S)
+        self._cache_cls = type(self.cache)
+        # per-slot device state
+        self.lengths = jnp.zeros((B,), jnp.int32)      # valid kv length (write pos)
+        self.kv_starts = jnp.full((B,), S, jnp.int32)  # first valid slot (mask all)
+        self.tokens = jnp.zeros((B,), jnp.int32)       # last sampled token
+        # host-side slot table
+        self.slot_req: List[Optional[Request]] = [None] * B
+        self.queue: collections.deque[Request] = collections.deque()
+        self.finished: List[Request] = []
+        self._prefill_cache: Dict[int, Callable] = {}
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(1,))
+        self._key = jax.random.PRNGKey(0)
+        self.stats = {"steps": 0, "decoded_tokens": 0, "slot_steps": 0,
+                      "prefills": 0}
+
+    # ---------------------------------------------------------------- prefill
+
+    def _make_prefill(self, pad_to: int):
+        """Batch-1 prefill at a bucketed prompt length; returns (logits, kv)."""
+        cfg = self.cfg
+
+        def prefill(params, batch):
+            if "image_features" in batch:
+                image_features = batch["image_features"]
+            elif "images" in batch:
+                image_features = encode_images(params, cfg, batch["images"])
+            else:
+                image_features = None
+            embeds = splice_embeddings(
+                params, cfg, batch["text_ids"], batch["token_type"],
+                batch["src_index"], image_features,
+            )
+            offsets = batch["pad_offsets"]
+            positions = jnp.maximum(
+                jnp.arange(pad_to)[None, :] - offsets[:, None], 0
+            )
+            if self.ecfg.kv_quant:
+                cache = dec.init_quant_kv_cache(cfg.decoder, 1, self.ecfg.max_len)
+            else:
+                cache = dec.init_kv_cache(cfg.decoder, 1, self.ecfg.max_len)
+            out = dec.decoder_forward(
+                params["decoder"], cfg.decoder, embeds,
+                positions=positions,
+                kv_lengths=jnp.full((1,), pad_to, jnp.int32),
+                kv_starts=offsets,
+                cache=cache, q_offset=0, tap_layers=(),
+                compute_logits=False,
+            )
+            last = out["hidden"][:, -1]
+            dp = params["decoder"]
+            if cfg.decoder.tie_embeddings:
+                logits = (last @ dp["embed_tokens"]["embedding"].T).astype(jnp.float32)
+            else:
+                from visper_lm_tpu.utils.param import linear
+
+                logits = linear(dp["lm_head"], last).astype(jnp.float32)
+            return logits, tuple(out["cache"])
+
+        return jax.jit(prefill)
+
+    def _insert_impl(self, slot, cache_arrays, new_arrays, lengths, kv_starts,
+                     tokens, new_len, new_start, new_token):
+        """Copy a batch-1 prefilled KV column into the shared cache at `slot`."""
+        out = []
+        for c, u in zip(cache_arrays, new_arrays):
+            # c: (L, S, B, ...), u: (L, S, 1, ...) -> write the whole slot column
+            out.append(jax.lax.dynamic_update_slice(
+                c, u.astype(c.dtype), (0, 0, slot) + (0,) * (c.ndim - 3)
+            ))
+        lengths = lengths.at[slot].set(new_len)
+        kv_starts = kv_starts.at[slot].set(new_start)
+        tokens = tokens.at[slot].set(new_token)
+        return tuple(out), lengths, kv_starts, tokens
+
+    # ------------------------------------------------------------------ step
+
+    def _step_impl(self, params, cache_arrays, tokens, lengths, kv_starts, key):
+        """One decode token for every slot (active or not) at its own position."""
+        cfg = self.cfg
+        cache = self._cache_cls(*cache_arrays)
+        emb = dec.embed_tokens(params["decoder"], tokens[:, None])
+        positions = (lengths - kv_starts)[:, None]
+        out = dec.decoder_forward(
+            params["decoder"], cfg.decoder, emb,
+            positions=positions,
+            kv_lengths=lengths + 1,
+            kv_starts=kv_starts,
+            cache=cache,
+            q_offset=lengths,            # (B,) per-slot write positions
+            tap_layers=(),
+        )
+        gen_cfg = GenerationConfig(
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+        )
+        next_tokens = _sample_tokens(out["logits"][:, 0], gen_cfg, key)
+        # slots at capacity stop advancing (their writes are dropped anyway)
+        new_lengths = jnp.minimum(lengths + 1, self.ecfg.max_len)
+        return next_tokens, tuple(out["cache"]), new_lengths
+
+    # ------------------------------------------------------------- host logic
+
+    def submit(self, req: Request) -> None:
+        req.submit_t = time.perf_counter()
+        self.queue.append(req)
+
+    def _bucket(self, n: int) -> int:
+        b = self.ecfg.prompt_bucket
+        return min(-(-n // b) * b, self.ecfg.max_len)
+
+    def _fill_slot(self, slot: int, req: Request) -> None:
+        plan = req.plan
+        pad_to = self._bucket(plan.seq_length)
+        assert plan.seq_length <= self.ecfg.max_len, "prompt exceeds cache"
+        if pad_to not in self._prefill_cache:
+            self._prefill_cache[pad_to] = self._make_prefill(pad_to)
+        batch = left_pad_plans([plan], pad_to)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if req.image_features is not None:
+            batch["image_features"] = jnp.asarray(req.image_features)
+        elif req.images is not None:
+            batch["images"] = jnp.asarray(req.images)
+        logits, kv = self._prefill_cache[pad_to](self.params, batch)
+        self._key, sub = jax.random.split(self._key)
+        gen_cfg = GenerationConfig(
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+        )
+        first = _sample_tokens(logits[0], gen_cfg, sub)
+        cache_arrays, self.lengths, self.kv_starts, self.tokens = self._insert(
+            jnp.int32(slot), tuple(self.cache), kv,
+            self.lengths, self.kv_starts, self.tokens,
+            jnp.int32(pad_to), jnp.int32(pad_to - plan.seq_length), first,
+        )
+        self.cache = self._cache_cls(*cache_arrays)
+        self.slot_req[slot] = req
+        req.first_token_t = time.perf_counter()
+        self._absorb(slot, int(first))
+        self.stats["prefills"] += 1
+
+    def _absorb(self, slot: int, token: int) -> None:
+        """Append a sampled token to the slot's request; retire on stop."""
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        req.output_ids.append(token)
+        self.stats["decoded_tokens"] += 1
+        done = (
+            token in req.eos_token_ids
+            or len(req.output_ids) >= req.max_new_tokens
+            or self.ecfg.max_len - int(np.asarray(self.lengths[slot])) <= 1
+        )
+        if not done and req.stop_strings and self.tokenizer is not None:
+            text = self.tokenizer.decode(req.output_ids, skip_special_tokens=False)
+            done = any(s in text for s in req.stop_strings)
+        if done:
+            req.done_t = time.perf_counter()
+            self.finished.append(req)
+            self.slot_req[slot] = None
+
+    def _admit(self) -> None:
+        for slot in range(self.ecfg.num_slots):
+            if self.slot_req[slot] is None and self.queue:
+                self._fill_slot(slot, self.queue.popleft())
+
+    def step(self) -> None:
+        """Admit queued requests into free slots, then decode one token/slot."""
+        self._admit()
+        if not any(r is not None for r in self.slot_req):
+            return
+        self._key, sub = jax.random.split(self._key)
+        next_tokens, cache_arrays, self.lengths = self._step(
+            self.params, tuple(self.cache), self.tokens, self.lengths,
+            self.kv_starts, sub,
+        )
+        self.cache = self._cache_cls(*cache_arrays)
+        self.tokens = next_tokens
+        toks = np.asarray(next_tokens)
+        self.stats["steps"] += 1
+        self.stats["slot_steps"] += sum(
+            1 for r in self.slot_req if r is not None
+        )
+        for slot in range(self.ecfg.num_slots):
+            if self.slot_req[slot] is not None:
+                self._absorb(slot, int(toks[slot]))
+
+    def run(self, requests: Sequence[Request]) -> List[Request]:
+        """Serve a list of requests to completion; returns them in finish order."""
+        for r in requests:
+            self.submit(r)
+        while self.queue or any(r is not None for r in self.slot_req):
+            self.step()
+        return self.finished
+
+    def decode_texts(self, requests: Sequence[Request]) -> Dict[Any, str]:
+        """uid -> decoded text (stop strings trimmed) for finished requests."""
+        out = {}
+        for r in requests:
+            text = self.tokenizer.decode(r.output_ids, skip_special_tokens=True)
+            for s in r.stop_strings:
+                idx = text.find(s)
+                if idx >= 0:
+                    text = text[:idx]
+            out[r.uid] = text.strip()
+        return out
