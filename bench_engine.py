@@ -55,6 +55,15 @@ def main() -> None:
     wq = on_tpu
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
+    if wq:
+        # quantize ONCE and share across both engines + the Generator (the
+        # bf16 decoder is dropped — holding both OOMs one v5e at 8 slots);
+        # linear() auto-detects kernel_q8, so consumers get weight_quant=False
+        from visper_lm_tpu.utils.param import quantize_linear_weights
+
+        params = dict(params)
+        params["decoder"] = quantize_linear_weights(params["decoder"])
+        wq = False
     rng = np.random.default_rng(0)
 
     def make_plan(prompt_tokens: int):
@@ -95,7 +104,8 @@ def main() -> None:
     float(jnp.sum(eng.tokens))
     eng_step_ms = 1000 * (time.perf_counter() - t0) / n_time
 
-    prompt_pad = 128
+    longest = max(r[0].seq_length for r in reqs_spec)
+    prompt_pad = -(-longest // 128) * 128
     gbatch = left_pad_plans([r[0] for r in reqs_spec[:B]], prompt_pad)
     gbatch["images"] = np.concatenate([r[1] for r in reqs_spec[:B]])
     gen = Generator(params, cfg, GenerationConfig(
@@ -113,7 +123,8 @@ def main() -> None:
                                 jb["pad_offsets"], key)
     float(jnp.sum(toks))
     gen_step_ms = 1000 * (time.perf_counter() - t0) / (n_time * 8)
-    del toks, cache, logits, gen
+    del toks, cache, logits, gen, jb
+    del eng.cache, eng  # free the phase-1 slot cache before phase 2
 
     # ---- 2. end-to-end mixed workload --------------------------------------
     eng2 = Engine(params, cfg, EngineConfig(
@@ -170,7 +181,7 @@ def main() -> None:
         "batch_loop_tokens_per_sec": round(loop_tok / loop_e2e_s, 2),
         "speedup_vs_batch_loop": round(loop_e2e_s / eng_e2e_s, 2),
         "slot_occupancy": round(occupancy, 3),
-        "kv_quant": kvq, "weight_quant": bool(wq),
+        "kv_quant": kvq, "weight_quant": on_tpu,
     }))
 
 

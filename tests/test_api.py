@@ -38,6 +38,24 @@ def test_chat_decodes(model):
     assert all(isinstance(t, str) for t in out)
 
 
+def test_serve_matches_chat(model):
+    """Continuous-batching serve() returns chat()'s greedy answers, in order.
+
+    chat() decodes each question alone (batch 1) so serve()'s slot scheduling
+    is compared against the per-request ground truth, not batch padding."""
+    img_r = Image.new("RGB", (40, 40), (255, 0, 0))
+    img_b = Image.new("RGB", (64, 32), (0, 0, 255))
+    questions = ["what color?", "how many objects are in this picture?",
+                 "describe the scene", "is it red?"]
+    images = [img_r, img_b, img_r, img_b]
+    expected = [
+        model.chat([q], [im], max_new_tokens=5)[0]
+        for q, im in zip(questions, images)
+    ]
+    got = model.serve(questions, images, max_new_tokens=5, num_slots=2)
+    assert got == expected
+
+
 def test_chat_anyres_tiles_and_padding():
     """anyres chat: different image sizes -> different tile counts per sample;
     the zero-padded tiles and the remapped newline row must not break decode."""

@@ -345,6 +345,24 @@ class VisperModel:
             return [conv.sep2]
         return [conv.sep]
 
+    def _eos_ids(self) -> List[int]:
+        """Single-token stop strings + the tokenizer eos, for on-device stops."""
+        eos_ids = []
+        for s in self.stop_strings():
+            try:
+                ids = self.tokenizer(s).input_ids
+                ids = [
+                    i for i in ids
+                    if i != getattr(self.tokenizer, "bos_token_id", None)
+                ]
+                if len(ids) == 1:
+                    eos_ids.append(ids[0])
+            except Exception:
+                pass
+        if getattr(self.tokenizer, "eos_token_id", None) is not None:
+            eos_ids.append(self.tokenizer.eos_token_id)
+        return eos_ids
+
     # --------------------------------------------------------------- generate
     def chat(
         self,
@@ -441,17 +459,7 @@ class VisperModel:
         batch = left_pad_plans(plans, pad_to)
         batch["images"] = pixels
 
-        eos_ids = []
-        for s in self.stop_strings():
-            try:
-                ids = self.tokenizer(s).input_ids
-                ids = [i for i in ids if i != getattr(self.tokenizer, "bos_token_id", None)]
-                if len(ids) == 1:
-                    eos_ids.append(ids[0])
-            except Exception:
-                pass
-        if getattr(self.tokenizer, "eos_token_id", None) is not None:
-            eos_ids.append(self.tokenizer.eos_token_id)
+        eos_ids = self._eos_ids()
 
         kvq, wq = self._resolve_quant(kv_quant, weight_quant)
         gen_cfg = GenerationConfig(
@@ -508,6 +516,97 @@ class VisperModel:
         return [
             self.tokenizer.decode(ids, skip_special_tokens=True).strip() for ids in out
         ]
+
+    def serve(
+        self,
+        questions: Sequence[str],
+        images: Sequence[Any],
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        num_slots: int = 8,
+        cache_len: Optional[int] = None,
+        kv_quant: Optional[bool] = None,
+        weight_quant: Optional[bool] = None,
+    ) -> List[str]:
+        """Continuous-batching VQA (serve/engine.py): answers in question order.
+
+        Unlike chat(), no request waits for the batch-longest sample — a slot
+        refills from the queue the moment its request retires, so mixed-length
+        workloads keep the decode batch full. Greedy outputs are token-exact
+        with chat() (tests/test_engine.py). Use for large mixed-length queues;
+        chat() remains the right call for a handful of similar prompts."""
+        from visper_lm_tpu.serve.engine import Engine, EngineConfig, Request
+
+        prompts = [self.build_prompt(q) for q in questions]
+        d = self.cfg.distill
+        anyres = self.cfg.image_aspect_ratio == "anyres" and self.grid_pinpoints
+        size = self.cfg.vision.image_size
+
+        reqs = []
+        stops = tuple(self.stop_strings())
+        eos_ids = tuple(self._eos_ids())
+        for i, (p, im) in enumerate(zip(prompts, images)):
+            if anyres:
+                from visper_lm_tpu.data.anyres import anyres_index_plan
+
+                tiles = process_images(
+                    [im], image_aspect_ratio="anyres", image_size=size,
+                    grid_pinpoints=self.grid_pinpoints,
+                )[0]
+                idx, _ = anyres_index_plan(
+                    im.size, self.grid_pinpoints, tile_size=size,
+                    patch_side=self.cfg.vision.num_patches_per_side,
+                    merge_type=self.cfg.mm_patch_merge_type,
+                )
+                pixels = np.asarray(tiles, dtype=np.float32)[None]
+                feature_indices = [idx]
+            else:
+                pixels = np.asarray(
+                    process_images(
+                        [im], image_aspect_ratio=self.cfg.image_aspect_ratio,
+                        image_size=size,
+                    ),
+                    dtype=np.float32,
+                )
+                feature_indices = None
+            plan = build_splice_plan(
+                tokenizer_image_token(p, self.tokenizer), None,
+                self.context_len,
+                num_image_tokens=self.cfg.num_image_tokens,
+                num_task_tokens=d.num_task_tokens if d else 0,
+                num_tasks=len(d.task_order()) if d else 0,
+                image_feature_indices=feature_indices,
+            )
+            reqs.append(Request(
+                plan=plan, images=pixels, max_new_tokens=max_new_tokens,
+                eos_token_ids=eos_ids, stop_strings=stops, uid=i,
+            ))
+
+        kvq, wq = self._resolve_quant(kv_quant, weight_quant)
+        params = self.params
+        if wq:
+            # share the one quantized serving copy with chat()'s Generators
+            params = self._quantized_params(
+                "int4" if wq == "int4" else "int8"
+            )
+        if cache_len is None:
+            # prompts left-pad to a 128 bucket inside the engine, so capacity
+            # must cover the BUCKETED prompt plus the decode budget
+            longest = max(r.plan.seq_length for r in reqs)
+            bucket = -(-longest // 128) * 128
+            cache_len = min(
+                -(-(bucket + max_new_tokens + 1) // 128) * 128,
+                self.context_len,
+            )
+        n_slots = min(num_slots, len(reqs))
+        eng = Engine(params, self.cfg, EngineConfig(
+            num_slots=n_slots, max_len=cache_len, temperature=temperature,
+            kv_quant=kvq, weight_quant=False,
+        ), tokenizer=self.tokenizer)
+        finished = eng.run(reqs)
+        texts = eng.decode_texts(finished)
+        return [texts[i] for i in range(len(reqs))]
 
     # ------------------------------------------------ visual interpretations
     def get_visual_interpretations(
