@@ -109,15 +109,17 @@ def local_batch_size(global_batch_size: int) -> int:
 
 
 def shard_batch_multihost(
-    batch: Dict[str, Any], mesh: Mesh
+    batch: Dict[str, Any], mesh: Mesh, leading_accum: bool = False
 ) -> Dict[str, jax.Array]:
     """Assemble each process's LOCAL host batch into globally-sharded arrays.
 
     Every process passes its own (local_batch, ...) shard; the result is a tree of
     jax.Arrays whose global batch axis is the concatenation over processes, sharded
     along the mesh 'data' axis. Single-process: plain device_put (identical result).
+    leading_accum: batch leaves carry a leading (accum_steps, ...) axis that stays
+    unsharded; the 'data' axis is then axis 1.
     """
-    specs = shd.batch_pspecs(batch)
+    specs = shd.batch_pspecs(batch, leading_accum=leading_accum)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(np.asarray(x), NamedSharding(mesh, s)),

@@ -135,11 +135,20 @@ def to_named(specs: Any, mesh: Mesh) -> Any:
     )
 
 
-def batch_pspecs(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Shard every batch array along 'data' on its leading (batch) axis."""
+def batch_pspecs(batch: Dict[str, Any], leading_accum: bool = False) -> Dict[str, Any]:
+    """Shard every batch array along 'data' on its leading (batch) axis.
+
+    leading_accum: the batch carries a leading gradient-accumulation axis
+    (accum_steps, batch, ...) that the train step scans over; the batch axis is
+    then axis 1, and the accumulation axis stays unsharded so every microbatch
+    is a complete 'data'-sharded step input."""
 
     def assign(leaf):
         nd = getattr(leaf, "ndim", 0)
+        if leading_accum:
+            if nd <= 1:
+                return P()
+            return P(None, DATA_AXIS, *([None] * (nd - 2)))
         if nd == 0:
             return P()
         return P(DATA_AXIS, *([None] * (nd - 1)))

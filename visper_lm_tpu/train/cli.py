@@ -71,6 +71,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="HF checkpoint dir to initialize trunk+tower from")
     # optimization (reference defaults: pretrain.sh:38-52 / finetune.sh:26-38)
     p.add_argument("--per-device-batch-size", type=int, default=32)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+                   help="microbatches per optimizer update (pretrain.sh:40); "
+                        "the step scans over them with one f32 grad buffer")
     # input pipeline (torch DataLoader(num_workers, prefetch_factor) equiv.)
     p.add_argument("--dataloader-num-workers", type=int, default=4,
                    help="threads for per-sample image decode (0 = inline)")
@@ -255,7 +258,9 @@ def main() -> None:
         group_by_modality_length=args.group_by_modality_length,
     )
     ds = SupervisedDataset(dcfg, tokenizer, cfg)
-    n_batches_per_epoch = len(ds) // args.per_device_batch_size
+    n_batches_per_epoch = len(ds) // (
+        args.per_device_batch_size * args.gradient_accumulation_steps
+    )
     total_steps = args.max_steps or n_batches_per_epoch * args.epochs
 
     distill_tasks = tuple(t.task for t in cfg.distill.tasks) if cfg.distill else ()
@@ -345,6 +350,7 @@ def main() -> None:
         shard_teachers=args.shard_teachers,
         remat_policy=args.remat_policy,
         offload_opt_state=args.offload_opt_state,
+        grad_accum_steps=args.gradient_accumulation_steps,
     )
     train(
         cfg, opt_cfg, trainer_cfg, params, prefetched_iter,

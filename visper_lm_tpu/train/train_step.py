@@ -223,12 +223,20 @@ def plan_train_shardings(
     )
 
 
-def make_step_fn(tx, base_loss_fn, opt_shardings):
+def make_step_fn(tx, base_loss_fn, opt_shardings, accum_steps: int = 1):
     """The pure train-step body: grads -> (pinned-host moment staging) ->
     tx.update -> new TrainState. Shared by make_train_step (live training) and
     train/aot.lower_flagship_step (the 8B fit proof) so the compiled memory
     numbers in docs/Scale8B.md can never drift from what training actually
-    runs. Signature: step_fn(state, frozen_params, teacher_params, batch)."""
+    runs. Signature: step_fn(state, frozen_params, teacher_params, batch).
+
+    accum_steps > 1 (the reference's --gradient_accumulation_steps,
+    pretrain.sh:40 / transformers TrainingArguments): batch leaves carry a
+    leading (accum_steps, ...) microbatch axis; the step lax.scans the
+    fwd+bwd over it, accumulating gradients in f32 (DeepSpeed's accumulation
+    dtype), and applies ONE optimizer update on the mean gradient — so the
+    effective global batch is accum_steps x the per-step batch at the HBM
+    cost of a single microbatch's activations plus one f32 gradient buffer."""
     import optax
 
     from visper_lm_tpu.utils.param import merge_params
@@ -249,10 +257,32 @@ def make_step_fn(tx, base_loss_fn, opt_shardings):
             lambda ns: ns.with_memory_kind("device"), opt_shardings
         )
 
-    def step_fn(state: TrainState, frozen_params, tp, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen_params, tp, batch
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accum_grads(params, frozen_params, tp, batch):
+        def body(gsum, microbatch):
+            (_, metrics), g = grad_fn(params, frozen_params, tp, microbatch)
+            gsum = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), gsum, g
+            )
+            return gsum, metrics
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
+        gsum, metrics_stack = jax.lax.scan(body, zeros, batch)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / accum_steps).astype(p.dtype), gsum, params
+        )
+        metrics = jax.tree_util.tree_map(
+            lambda m: jnp.mean(m, axis=0), metrics_stack
+        )
+        return metrics, grads
+
+    def step_fn(state: TrainState, frozen_params, tp, batch):
+        if accum_steps > 1:
+            metrics, grads = accum_grads(state.params, frozen_params, tp, batch)
+        else:
+            (_, metrics), grads = grad_fn(state.params, frozen_params, tp, batch)
         opt_state = state.opt_state
         if opt_to_device is not None:
             opt_state = jax.device_put(opt_state, opt_to_device)
@@ -282,6 +312,7 @@ def make_train_step(
     zero_min_size: int = 2 ** 16,
     offload_opt_state: bool = False,
     shard_teachers: bool = False,
+    accum_steps: int = 1,
 ) -> Tuple[Callable, TrainState, Any]:
     """Build (jitted_step, initial sharded TrainState, state shardings).
 
@@ -337,7 +368,7 @@ def make_train_step(
 
     # teacher params are explicit jit args (NOT closures): closed-over arrays can be
     # inlined into the serialized HLO, which explodes compile payloads/times.
-    step_fn = make_step_fn(tx, base_loss_fn, opt_shardings)
+    step_fn = make_step_fn(tx, base_loss_fn, opt_shardings, accum_steps=accum_steps)
 
     jitted = jax.jit(
         step_fn,
@@ -351,11 +382,15 @@ def make_train_step(
     return step, state, state_shardings
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, jax.Array]:
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, leading_accum: bool = False
+) -> Dict[str, jax.Array]:
     """Host numpy batch -> device arrays sharded along 'data'.
 
     Multi-process aware: under jax.distributed each process passes its LOCAL shard
-    of the global batch (parallel/distributed.shard_batch_multihost)."""
+    of the global batch (parallel/distributed.shard_batch_multihost).
+    leading_accum: leaves carry a leading (accum_steps, ...) microbatch axis
+    (gradient accumulation); 'data' then shards axis 1."""
     from visper_lm_tpu.parallel.distributed import shard_batch_multihost
 
-    return shard_batch_multihost(batch, mesh)
+    return shard_batch_multihost(batch, mesh, leading_accum=leading_accum)

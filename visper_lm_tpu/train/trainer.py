@@ -53,6 +53,10 @@ class TrainerConfig:
     # remat policy: None = full per-block remat; 'save_flash' keeps the flash
     # attention outputs (skips their backward recompute; costs HBM)
     remat_policy: Optional[str] = None
+    # gradient accumulation (reference --gradient_accumulation_steps,
+    # pretrain.sh:40): N host batches are stacked into one device step that
+    # scans fwd+bwd over them and applies a single optimizer update
+    grad_accum_steps: int = 1
     resume: bool = True
     # device batches buffered ahead; 1 still overlaps transfer with compute while
     # keeping only one extra batch resident (matters at HBM-edge model sizes)
@@ -156,6 +160,7 @@ def train(
             offload_opt_state=trainer_cfg.offload_opt_state,
             shard_teachers=trainer_cfg.shard_teachers,
             remat_policy=trainer_cfg.remat_policy,
+            accum_steps=trainer_cfg.grad_accum_steps,
         )
 
         start_step = 0
@@ -165,13 +170,31 @@ def train(
 
         step = start_step
         t_last = time.perf_counter()
+        accum = max(1, trainer_cfg.grad_accum_steps)
         for epoch in range(trainer_cfg.num_epochs):
             def transfer(batch):
                 batch = {k: v for k, v in batch.items() if k != "pil_images"}
-                return shard_batch(batch, mesh)
+                return shard_batch(batch, mesh, leading_accum=accum > 1)
+
+            def grouped(it):
+                # stack accum consecutive host batches into a leading
+                # microbatch axis; an incomplete trailing group is dropped
+                # (matches HF Trainer, which floors steps per epoch)
+                if accum == 1:
+                    yield from it
+                    return
+                group = []
+                for b in it:
+                    group.append({k: v for k, v in b.items() if k != "pil_images"})
+                    if len(group) == accum:
+                        yield {
+                            k: np.stack([g[k] for g in group]) for k in group[0]
+                        }
+                        group = []
 
             for dbatch in _Prefetcher(
-                data_iter_fn(epoch), transfer, depth=trainer_cfg.prefetch_depth
+                grouped(data_iter_fn(epoch)), transfer,
+                depth=trainer_cfg.prefetch_depth,
             ):
                 if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
                     break
