@@ -178,3 +178,85 @@ def test_per_slot_cache_write_heterogeneous():
         mask = np.ones(S, bool)
         mask[s] = False
         assert written[mask, b].sum() == 0, f"sample {b} wrote outside slot {s}"
+
+
+def _concat_plans(cfg, ids_a, ids_b):
+    d = cfg.distill
+    return build_splice_plan(
+        list(ids_a) + list(ids_b), None, 256,
+        num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=3,
+    )
+
+
+def test_prefix_cache_matches_full_prefill(setup):
+    """Requests continuing from a shared PrefixHandle decode the same greedy
+    tokens as full-prompt prefills of prefix+suffix — prefix caching is a
+    compute-reuse change, not a numerics change."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(9)
+    d = cfg.distill
+    prefix_ids = [1, 2, 3, IMAGE_TOKEN_INDEX] + list(rng.integers(4, 400, size=21))
+    image = rng.normal(size=(28, 28, 3)).astype(np.float32)
+    suffixes = [list(rng.integers(4, 400, size=n)) for n in (7, 33, 150)]
+
+    # expected: full-prompt requests through a plain engine
+    full_plans = [_concat_plans(cfg, prefix_ids, s) for s in suffixes]
+    eng_full = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512))
+    finished = eng_full.run([
+        Request(plan=p, images=image[None], max_new_tokens=6, uid=i)
+        for i, p in enumerate(full_plans)
+    ])
+    expected = {r.uid: r.output_ids for r in finished}
+
+    # prefix path: one shared handle, suffix-only requests
+    eng = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512))
+    prefix_plan = build_splice_plan(
+        prefix_ids, None, 128,
+        num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=3,
+    )
+    handle = eng.prefill_prefix(prefix_plan, images=image[None])
+    suffix_plans = [
+        build_splice_plan(s, None, 256, num_image_tokens=cfg.num_image_tokens,
+                          num_task_tokens=d.num_task_tokens, num_tasks=3)
+        for s in suffixes
+    ]
+    finished = eng.run([
+        Request(plan=p, prefix=handle, max_new_tokens=6, uid=i)
+        for i, p in enumerate(suffix_plans)
+    ])
+    got = {r.uid: r.output_ids for r in finished}
+    assert got == expected, (got, expected)
+    # only ONE image encode happened in the prefix engine (all three requests
+    # reused the handle); prefill count = 1 base + 3 suffixes
+    assert eng.stats["prefills"] == 3
+
+
+def test_prefix_chain_extension(setup):
+    """Extending a handle (multi-turn growth) matches the full-prompt run."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(11)
+    d = cfg.distill
+    turn1 = [1, 2, 3, IMAGE_TOKEN_INDEX] + list(rng.integers(4, 400, size=9))
+    turn2 = list(rng.integers(4, 400, size=14))
+    turn3 = list(rng.integers(4, 400, size=5))
+    image = rng.normal(size=(28, 28, 3)).astype(np.float32)
+
+    full = _concat_plans(cfg, turn1, turn2 + turn3)
+    eng_full = Engine(params, cfg, EngineConfig(num_slots=1, max_len=512))
+    expected = eng_full.run(
+        [Request(plan=full, images=image[None], max_new_tokens=5, uid=0)]
+    )[0].output_ids
+
+    eng = Engine(params, cfg, EngineConfig(num_slots=1, max_len=512))
+    mk = lambda ids, L: build_splice_plan(
+        ids, None, L, num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=3,
+    )
+    h1 = eng.prefill_prefix(mk(turn1, 128), images=image[None])
+    h2 = eng.prefill_prefix(mk(turn2, 64), prefix=h1)
+    got = eng.run(
+        [Request(plan=mk(turn3, 64), prefix=h2, max_new_tokens=5, uid=0)]
+    )[0].output_ids
+    assert got == expected, (got, expected)

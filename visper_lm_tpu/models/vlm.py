@@ -181,17 +181,24 @@ def splice_embeddings(
     src_index: jax.Array,       # (B, T) image-patch / task-token row index
     image_features: jax.Array,  # (B, N_img, hidden)
 ) -> jax.Array:
-    """Vectorized gather-select splice -> (B, T, hidden)."""
+    """Vectorized gather-select splice -> (B, T, hidden).
+
+    image_features may be None (a text-only chunk, e.g. a prefix-cache
+    continuation turn): the image gather is skipped entirely."""
     text_emb = embed(params["decoder"]["embed_tokens"], text_ids)
     dtype = text_emb.dtype
 
-    img = jnp.take_along_axis(
-        image_features.astype(dtype),
-        jnp.clip(src_index, 0, image_features.shape[1] - 1)[..., None],
-        axis=1,
-    )
-
-    emb = jnp.where((token_type == constants.SEG_IMAGE)[..., None], img, text_emb)
+    if image_features is None:
+        emb = text_emb
+    else:
+        img = jnp.take_along_axis(
+            image_features.astype(dtype),
+            jnp.clip(src_index, 0, image_features.shape[1] - 1)[..., None],
+            axis=1,
+        )
+        emb = jnp.where(
+            (token_type == constants.SEG_IMAGE)[..., None], img, text_emb
+        )
 
     task_table = build_task_token_table(params, cfg)
     if task_table is not None:

@@ -43,7 +43,12 @@ from visper_lm_tpu.config import VLMConfig
 from visper_lm_tpu.data.collate import SplicePlan
 from visper_lm_tpu.models import decoder as dec
 from visper_lm_tpu.models.vlm import encode_images, splice_embeddings
-from visper_lm_tpu.serve.generate import GenerationConfig, left_pad_plans, _sample_tokens
+from visper_lm_tpu.serve.generate import (
+    GenerationConfig,
+    left_pad_plans,
+    right_pad_plans,
+    _sample_tokens,
+)
 
 
 @dataclasses.dataclass
@@ -59,10 +64,30 @@ class EngineConfig:
 
 
 @dataclasses.dataclass
+class PrefixHandle:
+    """A prefilled, reusable KV prefix (shared system prompt / chat history).
+
+    `cache` is a batch-1, full-length (L, S, 1, ...) slab in the engine's cache
+    layout; valid KV occupies slots [start, length). Handles are read-only —
+    many in-flight requests can continue from the same handle — and chainable
+    via Engine.prefill_prefix(..., prefix=handle) for multi-turn growth.
+    The reference re-prefills the whole conversation every turn
+    (/root/reference/demo.py:286-350, HF generate with a fresh cache); this is
+    the vLLM-style prefix-caching upgrade mapped onto static XLA shapes.
+    """
+
+    cache: Tuple[jax.Array, ...]
+    length: int        # one past the last valid kv slot
+    start: int         # first valid kv slot (left-pad offset of the base turn)
+
+
+@dataclasses.dataclass
 class Request:
     plan: SplicePlan
     images: Optional[np.ndarray] = None        # (1, H, W, 3) or None (text-only)
     image_features: Optional[np.ndarray] = None
+    # continue from a cached prefix: plan then covers ONLY the new tokens
+    prefix: Optional[PrefixHandle] = None
     max_new_tokens: int = 128
     eos_token_ids: Tuple[int, ...] = ()
     stop_strings: Tuple[str, ...] = ()
@@ -166,6 +191,104 @@ class Engine:
 
         return jax.jit(prefill)
 
+    def _make_suffix(self, pad_to: int):
+        """Batch-1 continuation prefill: run only the NEW tokens (right-padded
+        to a bucket) over an existing prefix cache; returns (last-valid-token
+        logits, full kv slab incl. the prefix)."""
+        cfg = self.cfg
+
+        def suffix(params, prefix_cache, prefix_len, prefix_start, batch):
+            if "image_features" in batch:
+                image_features = batch["image_features"]
+            elif "images" in batch:
+                image_features = encode_images(params, cfg, batch["images"])
+            else:
+                image_features = None
+            embeds = splice_embeddings(
+                params, cfg, batch["text_ids"], batch["token_type"],
+                batch["src_index"], image_features,
+            )
+            seq_len = batch["seq_lengths"]          # (1,) real suffix length
+            # rope continues from the prefix's last logical position; the
+            # right-padded tail computes garbage that stays invisible (extras
+            # are causally masked for real queries; cache reads are bounded by
+            # kv_lengths; later writes overwrite the garbage slots)
+            positions = (prefix_len - prefix_start) + jnp.arange(pad_to)[None, :]
+            cache = self._cache_cls(*prefix_cache)
+            out = dec.decoder_forward(
+                params["decoder"], cfg.decoder, embeds,
+                positions=positions,
+                kv_lengths=prefix_len + seq_len,
+                kv_starts=jnp.reshape(prefix_start, (1,)).astype(jnp.int32),
+                cache=cache, q_offset=jnp.asarray(prefix_len, jnp.int32),
+                tap_layers=(), compute_logits=False,
+            )
+            last = jnp.take(out["hidden"][0], seq_len[0] - 1, axis=0)[None]
+            dp = params["decoder"]
+            if cfg.decoder.tie_embeddings:
+                logits = (last @ dp["embed_tokens"]["embedding"].T).astype(jnp.float32)
+            else:
+                from visper_lm_tpu.utils.param import linear
+
+                logits = linear(dp["lm_head"], last).astype(jnp.float32)
+            return logits, tuple(out["cache"])
+
+        return jax.jit(suffix)
+
+    # ---------------------------------------------------------- prefix cache
+
+    def prefill_prefix(
+        self,
+        plan: SplicePlan,
+        images: Optional[np.ndarray] = None,
+        image_features: Optional[np.ndarray] = None,
+        prefix: Optional[PrefixHandle] = None,
+    ) -> PrefixHandle:
+        """Prefill `plan` into a reusable KV prefix handle.
+
+        Without `prefix`: a fresh base prefix (bucketed, left-padded — zero
+        garbage slots). With `prefix`: extends it with `plan`'s tokens (chat
+        history growth); the handle chain shares no buffers, so older handles
+        stay valid. Requests carrying the handle prefill only their own
+        suffix tokens."""
+        if prefix is None:
+            pad_to = self._bucket(plan.seq_length)
+            if pad_to not in self._prefill_cache:
+                self._prefill_cache[pad_to] = self._make_prefill(pad_to)
+            batch = left_pad_plans([plan], pad_to)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if image_features is not None:
+                batch["image_features"] = jnp.asarray(image_features)
+            elif images is not None:
+                batch["images"] = jnp.asarray(images)
+            _, kv = self._prefill_cache[pad_to](self.params, batch)
+            return PrefixHandle(
+                cache=kv, length=pad_to, start=pad_to - plan.seq_length
+            )
+        logits, kv, new_len = self._run_suffix(prefix, plan, images, image_features)
+        return PrefixHandle(cache=kv, length=new_len, start=prefix.start)
+
+    def _run_suffix(self, prefix: PrefixHandle, plan: SplicePlan,
+                    images, image_features):
+        pad_to = self._bucket(plan.seq_length)
+        assert prefix.length + pad_to <= self.ecfg.max_len, (
+            "prefix + suffix bucket exceeds cache capacity"
+        )
+        key = ("suffix", pad_to)
+        if key not in self._prefill_cache:
+            self._prefill_cache[key] = self._make_suffix(pad_to)
+        batch = right_pad_plans([plan], pad_to)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if image_features is not None:
+            batch["image_features"] = jnp.asarray(image_features)
+        elif images is not None:
+            batch["images"] = jnp.asarray(images)
+        logits, kv = self._prefill_cache[key](
+            self.params, tuple(prefix.cache),
+            jnp.int32(prefix.length), jnp.int32(prefix.start), batch,
+        )
+        return logits, kv, prefix.length + plan.seq_length
+
     def _insert_impl(self, slot, cache_arrays, new_arrays, lengths, kv_starts,
                      tokens, new_len, new_start, new_token):
         """Copy a batch-1 prefilled KV column into the shared cache at `slot`."""
@@ -217,17 +340,24 @@ class Engine:
 
     def _fill_slot(self, slot: int, req: Request) -> None:
         plan = req.plan
-        pad_to = self._bucket(plan.seq_length)
-        assert plan.seq_length <= self.ecfg.max_len, "prompt exceeds cache"
-        if pad_to not in self._prefill_cache:
-            self._prefill_cache[pad_to] = self._make_prefill(pad_to)
-        batch = left_pad_plans([plan], pad_to)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if req.image_features is not None:
-            batch["image_features"] = jnp.asarray(req.image_features)
-        elif req.images is not None:
-            batch["images"] = jnp.asarray(req.images)
-        logits, kv = self._prefill_cache[pad_to](self.params, batch)
+        if req.prefix is not None:
+            logits, kv, new_len = self._run_suffix(
+                req.prefix, plan, req.images, req.image_features
+            )
+            new_start = req.prefix.start
+        else:
+            pad_to = self._bucket(plan.seq_length)
+            assert plan.seq_length <= self.ecfg.max_len, "prompt exceeds cache"
+            if pad_to not in self._prefill_cache:
+                self._prefill_cache[pad_to] = self._make_prefill(pad_to)
+            batch = left_pad_plans([plan], pad_to)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if req.image_features is not None:
+                batch["image_features"] = jnp.asarray(req.image_features)
+            elif req.images is not None:
+                batch["images"] = jnp.asarray(req.images)
+            logits, kv = self._prefill_cache[pad_to](self.params, batch)
+            new_len, new_start = pad_to, pad_to - plan.seq_length
         self._key, sub = jax.random.split(self._key)
         gen_cfg = GenerationConfig(
             temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
@@ -236,7 +366,7 @@ class Engine:
         cache_arrays, self.lengths, self.kv_starts, self.tokens = self._insert(
             jnp.int32(slot), tuple(self.cache), kv,
             self.lengths, self.kv_starts, self.tokens,
-            jnp.int32(pad_to), jnp.int32(pad_to - plan.seq_length), first,
+            jnp.int32(new_len), jnp.int32(new_start), first,
         )
         self.cache = self._cache_cls(*cache_arrays)
         self.slot_req[slot] = req

@@ -90,6 +90,30 @@ def left_pad_plans(plans: Sequence[SplicePlan], pad_to: int) -> Dict[str, np.nda
     }
 
 
+def right_pad_plans(plans: Sequence[SplicePlan], pad_to: int) -> Dict[str, np.ndarray]:
+    """Stack plans right-padded to pad_to (prefix-continuation prefill: the
+    valid tokens must sit flush against the cached prefix, so padding goes at
+    the end; `seq_lengths` marks where each sample's real tokens stop)."""
+    b = len(plans)
+    text_ids = np.zeros((b, pad_to), dtype=np.int32)
+    token_type = np.full((b, pad_to), constants.SEG_PAD, dtype=np.int32)
+    src_index = np.zeros((b, pad_to), dtype=np.int32)
+    seq_lengths = np.zeros((b,), dtype=np.int32)
+    for i, p in enumerate(plans):
+        n = p.seq_length
+        assert n <= pad_to, (n, pad_to)
+        seq_lengths[i] = n
+        text_ids[i, :n] = p.text_ids[:n]
+        token_type[i, :n] = p.token_type[:n]
+        src_index[i, :n] = p.src_index[:n]
+    return {
+        "text_ids": text_ids,
+        "token_type": token_type,
+        "src_index": src_index,
+        "seq_lengths": seq_lengths,
+    }
+
+
 def _sample_tokens(logits: jax.Array, gen_cfg: GenerationConfig, key: jax.Array) -> jax.Array:
     if gen_cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
