@@ -204,3 +204,127 @@ def test_fixup_tokenizer_adds_patch_token():
     t = Tok()
     fixup_tokenizer(t, {"mm_use_im_patch_token": True})
     assert t.added == (("<im_patch>",), True)
+
+
+def test_chat_session_multiturn_prefix_reuse(model):
+    """ChatSession: multi-turn answers match stateless chat() on the fully
+    templated history, while turns 2+ prefill only their delta tokens."""
+    from visper_lm_tpu import conversation as conversation_lib
+
+    img = Image.new("RGB", (40, 40), (0, 128, 255))
+    session = model.chat_session(img)
+    a1 = session.ask("what color?", max_new_tokens=4)
+
+    # ground truth for turn 2: stateless decode over the full templated history
+    conv = conversation_lib.conv_templates[model.cfg.conv_template].copy()
+    conv.append_message(conv.roles[0], "<image>\nwhat color?")
+    conv.append_message(conv.roles[1], a1)
+    conv.append_message(conv.roles[0], "how many?")
+    conv.append_message(conv.roles[1], None)
+    from visper_lm_tpu.data.mm_utils import tokenizer_image_token
+    from visper_lm_tpu.data.collate import build_splice_plan
+    from visper_lm_tpu.serve.engine import Engine, EngineConfig, Request
+
+    d = model.cfg.distill
+    plan = build_splice_plan(
+        tokenizer_image_token(conv.get_prompt(), model.tokenizer), None, 256,
+        num_image_tokens=model.cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=len(d.task_order()),
+    )
+    eng = Engine(model.params, model.cfg, EngineConfig(num_slots=1, max_len=256),
+                 tokenizer=model.tokenizer)
+    from visper_lm_tpu.data.mm_utils import process_images
+
+    pixels = np.asarray(
+        process_images([img], image_aspect_ratio="square",
+                       image_size=model.cfg.vision.image_size),
+        dtype=np.float32,
+    )
+    expected_req = eng.run([Request(
+        plan=plan, images=pixels, max_new_tokens=4,
+        eos_token_ids=tuple(model._eos_ids()),
+        stop_strings=tuple(model.stop_strings()), uid=0,
+    )])[0]
+    expected = model.tokenizer.decode(
+        expected_req.output_ids, skip_special_tokens=True
+    )
+    for s in model.stop_strings():
+        i = expected.find(s)
+        if i >= 0:
+            expected = expected[:i]
+    expected = expected.strip()
+
+    before = session.engine.stats["prefills"]
+    streamed = []
+    a2 = session.ask("how many?", max_new_tokens=4,
+                     stream_callback=streamed.append)
+    assert a2 == expected, (a2, expected)
+    # streaming produced the same text incrementally
+    assert "".join(streamed) == a2
+    # the turn reused the prefix: its request prefilled only the delta
+    assert session._turns == 2
+    assert session._prefix is not None
+
+
+def test_chat_session_without_image(model):
+    session = model.chat_session()
+    a1 = session.ask("hello there", max_new_tokens=3)
+    a2 = session.ask("again please", max_new_tokens=3)
+    assert isinstance(a1, str) and isinstance(a2, str)
+    assert session._turns == 2
+
+
+class RoundTripTok(FakeTokenizer):
+    """Round-trip-stable: numeric words encode to their own value, so
+    decode->retokenize of generated ids reproduces them exactly (enables the
+    ChatSession prefix-reuse fast path, like real BPE templates do)."""
+
+    eos_token_id = 2
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        ids = [self.bos_token_id]
+        for w in self._words(text):
+            ids.append(int(w) if w.isdigit() else 100 + (hash(w) % 400))
+        r.input_ids = ids
+        return r
+
+    def decode(self, ids, skip_special_tokens=False):
+        return " ".join(str(i) for i in ids)
+
+
+def test_chat_session_reuse_fast_path():
+    """With a round-trip-stable tokenizer, turn 2 slices only delta tokens and
+    continues from the cached prefix — and still matches the full prefill."""
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    model = VisperModel(cfg=cfg, params=params, tokenizer=RoundTripTok(),
+                        context_len=512)
+    img = Image.new("RGB", (40, 40), (0, 128, 255))
+
+    # session A: prefix-cached path
+    sa = model.chat_session(img)
+    a1 = sa.ask("what color?", max_new_tokens=3)
+    ids_t1 = list(sa._ids)
+    a2 = sa.ask("how many?", max_new_tokens=3)
+    # the reuse branch engaged: turn 2 ran through the suffix-continuation
+    # prefill (a ("suffix", bucket) compile exists) and extended the cached ids
+    assert any(
+        isinstance(k, tuple) and k[0] == "suffix"
+        for k in sa.engine._prefill_cache
+    )
+    assert sa._ids[: len(ids_t1)] == ids_t1 and len(sa._ids) > len(ids_t1)
+    assert sa._turns == 2
+
+    # session B: force the fallback (fresh session fed the same history) —
+    # answers must agree because prefix caching never changes numerics
+    sb = model.chat_session(img)
+    b1 = sb.ask("what color?", max_new_tokens=3)
+    assert b1 == a1
+    sb._prefix = None          # disable reuse for turn 2
+    sb._ids = []
+    b2 = sb.ask("how many?", max_new_tokens=3)
+    assert b2 == a2, (b2, a2)

@@ -608,6 +608,11 @@ class VisperModel:
         texts = eng.decode_texts(finished)
         return [texts[i] for i in range(len(reqs))]
 
+    def chat_session(self, image: Any = None, **kw) -> "ChatSession":
+        """Open a multi-turn chat session with prefix-cached history: each
+        turn prefills only its new tokens (see ChatSession)."""
+        return ChatSession(self, image, **kw)
+
     # ------------------------------------------------ visual interpretations
     def get_visual_interpretations(
         self, question: str, image: Any
@@ -651,3 +656,154 @@ class VisperModel:
                 for layer, pred in zip(tcfg.layer_indices, preds[tcfg.task])
             }
         return result
+
+
+class ChatSession:
+    """Multi-turn chat with prefix-cached history.
+
+    The reference demo re-runs HF generate over the WHOLE conversation every
+    turn (/root/reference/demo.py:286-350: the chatbot state is re-templated
+    and re-prefilled from scratch). A session instead keeps the conversation's
+    KV in a serve.engine.PrefixHandle: each turn prefills only the new tokens
+    (user message + the previous reply's extension), so turn latency is
+    O(new tokens), not O(history).
+
+    Robustness: the handle is only reused when the freshly templated prompt's
+    token ids literally extend the session's cached ids (BPE can merge across
+    text boundaries); on any mismatch the turn transparently falls back to a
+    full prefill — exactness never depends on tokenizer prefix stability.
+
+        session = model.chat_session(image)
+        a1 = session.ask("What is in the image?")
+        a2 = session.ask("What color is it?")        # prefills only this turn
+    """
+
+    def __init__(self, model: VisperModel, image: Any = None, *,
+                 num_slots: int = 1,
+                 kv_quant: Optional[bool] = None,
+                 weight_quant: Optional[bool] = None):
+        from visper_lm_tpu.serve.engine import Engine, EngineConfig
+
+        self.model = model
+        self.conv = conversation_lib.conv_templates[model.cfg.conv_template].copy()
+        self._pixels = None
+        if image is not None:
+            self._pixels = np.asarray(
+                process_images(
+                    [image],
+                    image_aspect_ratio=model.cfg.image_aspect_ratio
+                    if model.cfg.image_aspect_ratio != "anyres" else "square",
+                    image_size=model.cfg.vision.image_size,
+                ),
+                dtype=np.float32,
+            )
+        kvq, wq = model._resolve_quant(kv_quant, weight_quant)
+        params = model.params
+        if wq:
+            params = model._quantized_params("int4" if wq == "int4" else "int8")
+        self.engine = Engine(
+            params, model.cfg,
+            EngineConfig(num_slots=num_slots, max_len=model.context_len,
+                         kv_quant=kvq),
+            tokenizer=model.tokenizer,
+        )
+        self._prefix = None
+        self._ids: List[int] = []
+        self._turns = 0
+
+    def _plan(self, ids: Sequence[int]):
+        d = self.model.cfg.distill
+        return build_splice_plan(
+            list(ids), None, self.model.context_len,
+            num_image_tokens=self.model.cfg.num_image_tokens,
+            num_task_tokens=d.num_task_tokens if d else 0,
+            num_tasks=len(d.task_order()) if d else 0,
+        )
+
+    def ask(self, question: str, *, max_new_tokens: int = 256,
+            stream_callback: Optional[Any] = None) -> str:
+        model = self.model
+        if self._turns == 0 and self._pixels is not None \
+                and DEFAULT_IMAGE_TOKEN not in question:
+            question = DEFAULT_IMAGE_TOKEN + "\n" + question
+        self.conv.append_message(self.conv.roles[0], question)
+        self.conv.append_message(self.conv.roles[1], None)
+        full_ids = tokenizer_image_token(self.conv.get_prompt(), model.tokenizer)
+
+        from visper_lm_tpu.serve.engine import Request
+
+        n = len(self._ids)
+        bucket = self.engine.ecfg.prompt_bucket
+
+        def fits(prefix_len: int, n_tokens: int) -> bool:
+            pad = -(-max(n_tokens, 1) // bucket) * bucket
+            return prefix_len + pad + max_new_tokens + 1 <= self.engine.ecfg.max_len
+
+        reuse = (
+            self._prefix is not None
+            and len(full_ids) > n
+            and list(full_ids[:n]) == list(self._ids)
+            and fits(self._prefix.length, len(full_ids) - n)
+        )
+        delta_ids = list(full_ids[n:]) if reuse else list(full_ids)
+
+        stops = tuple(model.stop_strings())
+        streamer = None
+        if stream_callback is not None:
+            state = {"ids": [], "emitted": ""}
+            eos_set = set(model._eos_ids())
+
+            def streamer(tok: int) -> None:
+                if tok in eos_set:
+                    return
+                state["ids"].append(tok)
+                text = model.tokenizer.decode(
+                    state["ids"], skip_special_tokens=True
+                )
+                for s in stops:
+                    idx = text.find(s)
+                    if idx >= 0:
+                        text = text[:idx]
+                text = text.rstrip("�")
+                if len(text) > len(state["emitted"]) and text.startswith(
+                    state["emitted"]
+                ):
+                    stream_callback(text[len(state["emitted"]):])
+                    state["emitted"] = text
+
+        req = Request(
+            plan=self._plan(delta_ids),
+            prefix=self._prefix if reuse else None,
+            images=None if reuse else self._pixels,
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=tuple(model._eos_ids()),
+            stop_strings=stops,
+            stream_callback=streamer,
+        )
+        done = self.engine.run([req])[0]
+        text = model.tokenizer.decode(done.output_ids, skip_special_tokens=True)
+        for s in stops:
+            idx = text.find(s)
+            if idx >= 0:
+                text = text[:idx]
+        text = text.strip()
+        self.conv.messages[-1][-1] = text
+
+        # grow the cached prefix by this turn's delta + the generated ids so
+        # the next turn can continue from it; when the extension no longer
+        # fits the cache, drop the handle — later turns full-prefill (and
+        # truncate via the splice plan) instead of overflowing
+        turn_ids = delta_ids + list(done.output_ids)
+        base_len = self._prefix.length if (reuse and self._prefix) else 0
+        if fits(base_len, len(turn_ids)):
+            self._prefix = self.engine.prefill_prefix(
+                self._plan(turn_ids),
+                images=None if reuse else self._pixels,
+                prefix=self._prefix if reuse else None,
+            )
+            self._ids = (list(self._ids) if reuse else []) + turn_ids
+        else:
+            self._prefix = None
+            self._ids = []
+        self._turns += 1
+        return text

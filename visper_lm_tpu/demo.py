@@ -306,6 +306,10 @@ def repl(model, image_path: str, out_dir: str = "demo_out", decoders=None) -> No
 
     decoders = decoders or {}
     image = Image.open(image_path).convert("RGB")
+    # multi-turn: conversation history rides a prefix-cached KV handle, so each
+    # turn prefills only its own tokens (api.ChatSession) — the reference demo
+    # re-prefills the whole history every turn
+    session = model.chat_session(image)
     print(f"Loaded {image_path}. Commands: /viz <question>, /quit, or just chat.")
     while True:
         try:
@@ -325,9 +329,7 @@ def repl(model, image_path: str, out_dir: str = "demo_out", decoders=None) -> No
             continue
         # streamed decode (reference demo.py:286-350, TextIteratorStreamer)
         print("assistant> ", end="", flush=True)
-        model.chat(
-            [line], [image], max_new_tokens=256, stream_callback=_print_stream
-        )
+        session.ask(line, max_new_tokens=256, stream_callback=_print_stream)
         print()
 
 

@@ -92,6 +92,8 @@ class Request:
     eos_token_ids: Tuple[int, ...] = ()
     stop_strings: Tuple[str, ...] = ()
     uid: Any = None
+    # called with each sampled token id as it lands (host-side streaming)
+    stream_callback: Optional[Callable[[int], None]] = None
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     submit_t: float = 0.0
@@ -380,6 +382,8 @@ class Engine:
         if req is None:
             return
         req.output_ids.append(token)
+        if req.stream_callback is not None:
+            req.stream_callback(token)
         self.stats["decoded_tokens"] += 1
         done = (
             token in req.eos_token_ids
@@ -421,12 +425,15 @@ class Engine:
                 self._absorb(slot, int(toks[slot]))
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
-        """Serve a list of requests to completion; returns them in finish order."""
+        """Serve a list of requests to completion; returns the requests that
+        finished during THIS call, in finish order (self.finished keeps the
+        full history across calls — a session reuses one engine)."""
+        start = len(self.finished)
         for r in requests:
             self.submit(r)
         while self.queue or any(r is not None for r in self.slot_req):
             self.step()
-        return self.finished
+        return self.finished[start:]
 
     def decode_texts(self, requests: Sequence[Request]) -> Dict[Any, str]:
         """uid -> decoded text (stop strings trimmed) for finished requests."""
