@@ -260,3 +260,29 @@ def test_prefix_chain_extension(setup):
         [Request(plan=mk(turn3, 64), prefix=h2, max_new_tokens=5, uid=0)]
     )[0].output_ids
     assert got == expected, (got, expected)
+
+
+def test_chunked_prefill_matches_single_shot(setup):
+    """prefill_chunk splits long prompts into prefix-chained pieces; greedy
+    outputs must match the single-shot prefill exactly."""
+    cfg, params, plans, images = setup
+    max_news = [5, 4, 6, 5, 4]
+
+    base = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512))
+    expected = {
+        r.uid: r.output_ids for r in base.run([
+            Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+            for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+        ])
+    }
+
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=2, max_len=512, prefill_chunk=64, prompt_bucket=64,
+    ))
+    got = {
+        r.uid: r.output_ids for r in eng.run([
+            Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+            for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+        ])
+    }
+    assert got == expected, (got, expected)

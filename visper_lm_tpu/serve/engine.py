@@ -56,6 +56,11 @@ class EngineConfig:
     num_slots: int = 8                 # decode batch width (compiled once)
     max_len: int = 2048                # shared KV cache length per slot
     prompt_bucket: int = 128           # prompt lengths round up to a multiple
+    # chunked prefill: prompts longer than this prefill in <=chunk pieces via
+    # the prefix-continuation path, bounding the per-prefill stall that an
+    # in-flight decode batch sees (None = single-shot prefill). Each chunk
+    # costs one extra copy of the batch-1 cache slab; numerics are unchanged.
+    prefill_chunk: Optional[int] = None
     temperature: float = 0.0
     top_p: float = 1.0
     kv_quant: bool = False             # int8 KV cache (same tradeoff as Generator)
@@ -340,7 +345,47 @@ class Engine:
         b = self.ecfg.prompt_bucket
         return min(-(-n // b) * b, self.ecfg.max_len)
 
+    def _encode_images_once(self, images) -> jax.Array:
+        if not hasattr(self, "_encode_fn"):
+            cfg = self.cfg
+            self._encode_fn = jax.jit(
+                lambda p, im: encode_images(p, cfg, im)
+            )
+        return self._encode_fn(self.params, jnp.asarray(images))
+
+    def _chunk_plan(self, plan: SplicePlan, a: int, b: int) -> SplicePlan:
+        return SplicePlan(
+            text_ids=plan.text_ids[a:b], token_type=plan.token_type[a:b],
+            src_index=plan.src_index[a:b], labels=plan.labels[a:b],
+            seq_length=b - a,
+        )
+
+    def _maybe_chunk(self, req: Request) -> Request:
+        """Split an over-long prompt into prefix-chained chunks: all but the
+        last chunk build a throwaway PrefixHandle; the last chunk becomes the
+        request's suffix (its logits seed the first sampled token)."""
+        chunk = self.ecfg.prefill_chunk
+        n = req.plan.seq_length
+        if not chunk or req.prefix is not None or n <= chunk:
+            return req
+        feats = req.image_features
+        if feats is None and req.images is not None:
+            # encode once; every chunk splices from the same feature rows
+            feats = self._encode_images_once(req.images)
+        split = ((n - 1) // chunk) * chunk
+        handle = None
+        for a in range(0, split, chunk):
+            handle = self.prefill_prefix(
+                self._chunk_plan(req.plan, a, a + chunk),
+                image_features=feats, prefix=handle,
+            )
+        return dataclasses.replace(
+            req, plan=self._chunk_plan(req.plan, split, n),
+            prefix=handle, images=None, image_features=feats,
+        )
+
     def _fill_slot(self, slot: int, req: Request) -> None:
+        req = self._maybe_chunk(req)
         plan = req.plan
         if req.prefix is not None:
             logits, kv, new_len = self._run_suffix(
