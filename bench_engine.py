@@ -166,6 +166,35 @@ def main() -> None:
         del cache
     loop_e2e_s = time.perf_counter() - t0
 
+    # ---- 3. prefix caching: turn latency over a long chat history ----------
+    # the reference pattern re-prefills history+delta every turn; the session
+    # pattern prefills only the delta over a cached PrefixHandle
+    hist_tok = 24 if args.smoke else 512
+    delta_tok = 8 if args.smoke else 32
+    eng3 = Engine(params, cfg, EngineConfig(
+        num_slots=1, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+    ))
+    hist_plan = make_plan(hist_tok)
+    img = reqs_spec[0][1]
+    full_plan = make_plan(hist_tok + delta_tok)
+    delta_plan = make_plan(delta_tok)
+    handle = eng3.prefill_prefix(hist_plan, images=img)
+
+    def time_turn(req):
+        t0 = time.perf_counter()
+        r = eng3.run([req])[0]
+        assert len(r.output_ids) >= 1
+        return time.perf_counter() - t0
+
+    mn = 8 if args.smoke else 16
+    # warm both compile paths, then measure
+    time_turn(Request(plan=full_plan, images=img, max_new_tokens=mn))
+    time_turn(Request(plan=delta_plan, prefix=handle, max_new_tokens=mn))
+    full_s = min(time_turn(Request(plan=full_plan, images=img,
+                                   max_new_tokens=mn)) for _ in range(3))
+    cached_s = min(time_turn(Request(plan=delta_plan, prefix=handle,
+                                     max_new_tokens=mn)) for _ in range(3))
+
     print(json.dumps({
         "metric": "engine_decode_tokens_per_sec",
         "value": round(n_tok / eng_e2e_s, 2),
@@ -181,6 +210,9 @@ def main() -> None:
         "batch_loop_tokens_per_sec": round(loop_tok / loop_e2e_s, 2),
         "speedup_vs_batch_loop": round(loop_e2e_s / eng_e2e_s, 2),
         "slot_occupancy": round(occupancy, 3),
+        "prefix_turn_full_ms": round(1000 * full_s, 1),
+        "prefix_turn_cached_ms": round(1000 * cached_s, 1),
+        "prefix_cache_turn_speedup": round(full_s / cached_s, 2),
         "kv_quant": kvq, "weight_quant": on_tpu,
     }))
 
