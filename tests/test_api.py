@@ -328,3 +328,23 @@ def test_chat_session_reuse_fast_path():
     sb._ids = []
     b2 = sb.ask("how many?", max_new_tokens=3)
     assert b2 == a2, (b2, a2)
+
+
+def test_chat_session_growth_uses_harvest_not_reprefill(model):
+    """ADVICE r3 (low): prefix growth lifts the slot's already-computed KV
+    via Engine.harvest — no growth re-prefill (and no second image encode)
+    runs after a turn."""
+    img = Image.new("RGB", (40, 40), (0, 128, 255))
+    session = model.chat_session(img)
+    calls = []
+    orig = session.engine.prefill_prefix
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    session.engine.prefill_prefix = counting
+    session.ask("what color?", max_new_tokens=4)
+    session.ask("how many?", max_new_tokens=4)
+    assert calls == [], "growth re-prefilled instead of harvesting"
+    assert session._prefix is not None and session._turns == 2

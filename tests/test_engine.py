@@ -286,3 +286,117 @@ def test_chunked_prefill_matches_single_shot(setup):
         ])
     }
     assert got == expected, (got, expected)
+
+
+def test_chunked_prefill_interleaves_decode(setup):
+    """ADVICE r3 (medium): chunk advances are spread across engine steps, so
+    already-admitted slots decode one token between every chunk — the prefill
+    stall seen by in-flight requests is bounded by ONE chunk, not the whole
+    prompt. Outputs stay token-exact."""
+    cfg, params, plans, images = setup
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=2, max_len=512, prefill_chunk=64, prompt_bucket=64,
+    ))
+    short = Request(plan=plans[0], images=images[0][None],
+                    max_new_tokens=64, uid="s")
+    eng.submit(short)
+    eng.step()                  # admit short; it starts decoding
+    long = Request(plan=plans[3], images=images[3][None],
+                   max_new_tokens=4, uid="l")
+    n_chunks = (plans[3].seq_length - 1) // 64
+    assert n_chunks >= 2, "fixture prompt too short for this test"
+    eng.submit(long)
+    deltas = []
+    while long in eng.queue:
+        before = len(short.output_ids)
+        eng.step()
+        deltas.append(len(short.output_ids) - before)
+    # every chunk advance (and the final fill) coexisted with exactly one
+    # decode token for the in-flight slot
+    assert len(deltas) == n_chunks + 1 and all(d == 1 for d in deltas), deltas
+    while eng.queue or any(r is not None for r in eng.slot_req):
+        eng.step()
+    assert long.output_ids == _reference_tokens(
+        cfg, params, plans[3], images[3], 4
+    )
+
+
+def test_chunked_prefill_bucket_alignment(setup):
+    """ADVICE r3 (low): a prefill_chunk that is not a prompt_bucket multiple
+    is rounded up, so chunk handles carry no dead left-pad slots and
+    near-capacity prompts don't trip the suffix capacity assert."""
+    cfg, params, plans, images = setup
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=1, max_len=256, prefill_chunk=50, prompt_bucket=64,
+    ))
+    assert eng._chunk == 64
+    got = eng.run([Request(plan=plans[3], images=images[3][None],
+                           max_new_tokens=4, uid=0)])[0].output_ids
+    assert got == _reference_tokens(cfg, params, plans[3], images[3], 4)
+    # the first chunk's handle started at slot 0: no dead pad was reserved
+    assert eng.stats["prefills"] == 1
+
+
+def test_engine_run_does_not_retain_history(setup):
+    """ADVICE r3 (low): run() returns this call's finishers and drops them
+    from the engine — a long-lived session engine holds no request history."""
+    cfg, params, plans, images = setup
+    eng = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512))
+    r1 = eng.run([Request(plan=plans[0], images=images[0][None],
+                          max_new_tokens=3, uid=0)])
+    r2 = eng.run([Request(plan=plans[1], images=images[1][None],
+                          max_new_tokens=3, uid=1)])
+    assert [r.uid for r in r1] == [0] and [r.uid for r in r2] == [1]
+    assert eng.finished == []
+
+
+def test_harvest_prefix_matches_reprefill(setup):
+    """harvest() lifts a finished slot's KV into a PrefixHandle that decodes
+    exactly like a freshly prefilled prefix over the same tokens."""
+    cfg, params, plans, images = setup
+    eng = Engine(params, cfg, EngineConfig(num_slots=1, max_len=512))
+    done = eng.run([Request(plan=plans[1], images=images[1][None],
+                            max_new_tokens=6, uid=0)])[0]
+    handle = eng.harvest(done)
+    assert handle is not None
+    # the handle covers prompt + output_ids[:-1]; continue with the last
+    # sampled token + a fresh continuation and compare against one
+    # uninterrupted prefill of the concatenated sequence
+    import dataclasses as _dc
+
+    cont = [done.output_ids[-1], 7, 8, 9]
+    suffix_plan = build_splice_plan(
+        cont, None, 64, num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=cfg.distill.num_task_tokens, num_tasks=3,
+    )
+    suffix_plan = _dc.replace(
+        suffix_plan,
+        text_ids=suffix_plan.text_ids[: len(cont)],
+        token_type=suffix_plan.token_type[: len(cont)],
+        src_index=suffix_plan.src_index[: len(cont)],
+        labels=suffix_plan.labels[: len(cont)],
+        seq_length=len(cont),
+    )
+    got = eng.run([Request(plan=suffix_plan, prefix=handle,
+                           max_new_tokens=5, uid=1)])[0].output_ids
+
+    # ground truth: freshly prefill the prompt as a prefix, then run
+    # [decoded tokens + cont] as the suffix in one shot
+    eng2 = Engine(params, cfg, EngineConfig(num_slots=1, max_len=512))
+    h = eng2.prefill_prefix(plans[1], images=images[1][None])
+    tail = list(done.output_ids[:-1]) + cont
+    tail_plan = build_splice_plan(
+        tail, None, 64, num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=cfg.distill.num_task_tokens, num_tasks=3,
+    )
+    tail_plan = _dc.replace(
+        tail_plan,
+        text_ids=tail_plan.text_ids[: len(tail)],
+        token_type=tail_plan.token_type[: len(tail)],
+        src_index=tail_plan.src_index[: len(tail)],
+        labels=tail_plan.labels[: len(tail)],
+        seq_length=len(tail),
+    )
+    expected = eng2.run([Request(plan=tail_plan, prefix=h,
+                                 max_new_tokens=5, uid=2)])[0].output_ids
+    assert got == expected, (got, expected)

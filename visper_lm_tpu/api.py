@@ -764,7 +764,11 @@ class ChatSession:
                     idx = text.find(s)
                     if idx >= 0:
                         text = text[:idx]
-                text = text.rstrip("�")
+                # lstrip so the streamed increments concatenate to the same
+                # text ask() returns (BPE leading-space tokens would otherwise
+                # stream whitespace the stripped final answer lacks); trailing
+                # whitespace may still stream before the stop is known
+                text = text.lstrip().rstrip("�")
                 if len(text) > len(state["emitted"]) and text.startswith(
                     state["emitted"]
                 ):
@@ -789,21 +793,32 @@ class ChatSession:
         text = text.strip()
         self.conv.messages[-1][-1] = text
 
-        # grow the cached prefix by this turn's delta + the generated ids so
-        # the next turn can continue from it; when the extension no longer
-        # fits the cache, drop the handle — later turns full-prefill (and
-        # truncate via the splice plan) instead of overflowing
-        turn_ids = delta_ids + list(done.output_ids)
-        base_len = self._prefix.length if (reuse and self._prefix) else 0
-        if fits(base_len, len(turn_ids)):
-            self._prefix = self.engine.prefill_prefix(
-                self._plan(turn_ids),
-                images=None if reuse else self._pixels,
-                prefix=self._prefix if reuse else None,
-            )
-            self._ids = (list(self._ids) if reuse else []) + turn_ids
+        # grow the cached prefix by this turn so the next turn can continue
+        # from it: harvest the slot's ALREADY-COMPUTED KV (prompt + decoded
+        # tokens) into the handle — zero extra forward passes. The cache holds
+        # KV for everything but the last sampled token, so the tracked ids
+        # exclude it (the next turn's delta re-includes it naturally).
+        base_ids = list(self._ids) if reuse else []
+        handle = self.engine.harvest(done)
+        if handle is not None:
+            self._prefix = handle
+            self._ids = base_ids + delta_ids + list(done.output_ids)[:-1]
         else:
-            self._prefix = None
-            self._ids = []
+            # slot KV already recycled (cannot happen in a single-request
+            # session) — fall back to re-prefilling this turn's tokens; when
+            # the extension no longer fits the cache, drop the handle so
+            # later turns full-prefill instead of overflowing
+            turn_ids = delta_ids + list(done.output_ids)
+            base_len = self._prefix.length if (reuse and self._prefix) else 0
+            if fits(base_len, len(turn_ids)):
+                self._prefix = self.engine.prefill_prefix(
+                    self._plan(turn_ids),
+                    images=None if reuse else self._pixels,
+                    prefix=self._prefix if reuse else None,
+                )
+                self._ids = base_ids + turn_ids
+            else:
+                self._prefix = None
+                self._ids = []
         self._turns += 1
         return text

@@ -57,9 +57,13 @@ class EngineConfig:
     max_len: int = 2048                # shared KV cache length per slot
     prompt_bucket: int = 128           # prompt lengths round up to a multiple
     # chunked prefill: prompts longer than this prefill in <=chunk pieces via
-    # the prefix-continuation path, bounding the per-prefill stall that an
-    # in-flight decode batch sees (None = single-shot prefill). Each chunk
-    # costs one extra copy of the batch-1 cache slab; numerics are unchanged.
+    # the prefix-continuation path. At most ONE chunk runs per engine step, so
+    # decode steps for occupied slots interleave between chunks — the stall an
+    # in-flight decode batch sees is bounded by one chunk's prefill, not the
+    # whole prompt (None = single-shot prefill). Each chunk costs one extra
+    # copy of the batch-1 cache slab; numerics are unchanged. Rounded up to a
+    # prompt_bucket multiple at engine init so chunk prefills carry no dead
+    # left-pad slots in the handle.
     prefill_chunk: Optional[int] = None
     temperature: float = 0.0
     top_p: float = 1.0
@@ -104,6 +108,15 @@ class Request:
     submit_t: float = 0.0
     first_token_t: float = 0.0
     done_t: float = 0.0
+    # retirement bookkeeping (set when the request finishes) so the slot's KV
+    # can be harvested into a PrefixHandle before the slot is reused:
+    slot: Optional[int] = None
+    slot_gen: int = -1
+    final_kv_len: int = 0
+    final_kv_start: int = 0
+    # engine-internal: this request is mid chunked-prefill (its `prefix` is
+    # engine-built chunk progress, not a caller-supplied handle)
+    _chunking: bool = False
 
 
 class Engine:
@@ -144,8 +157,19 @@ class Engine:
         self.tokens = jnp.zeros((B,), jnp.int32)       # last sampled token
         # host-side slot table
         self.slot_req: List[Optional[Request]] = [None] * B
+        self.slot_gen = [0] * B           # bumps on every fill (harvest guard)
         self.queue: collections.deque[Request] = collections.deque()
+        # requests finished since the last run() drain — run() clears this on
+        # entry, so a long-lived engine does not accumulate request history
         self.finished: List[Request] = []
+        # chunk size normalized to a prompt_bucket multiple: chunk prefills
+        # then bucket to exactly their own length (no dead left-pad slots)
+        self._chunk: Optional[int] = None
+        if ecfg.prefill_chunk:
+            b = ecfg.prompt_bucket
+            self._chunk = min(
+                -(-ecfg.prefill_chunk // b) * b, ecfg.max_len
+            )
         self._prefill_cache: Dict[int, Callable] = {}
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1,))
@@ -360,32 +384,36 @@ class Engine:
             seq_length=b - a,
         )
 
-    def _maybe_chunk(self, req: Request) -> Request:
-        """Split an over-long prompt into prefix-chained chunks: all but the
-        last chunk build a throwaway PrefixHandle; the last chunk becomes the
-        request's suffix (its logits seed the first sampled token)."""
-        chunk = self.ecfg.prefill_chunk
-        n = req.plan.seq_length
-        if not chunk or req.prefix is not None or n <= chunk:
-            return req
-        feats = req.image_features
-        if feats is None and req.images is not None:
-            # encode once; every chunk splices from the same feature rows
-            feats = self._encode_images_once(req.images)
-        split = ((n - 1) // chunk) * chunk
-        handle = None
-        for a in range(0, split, chunk):
-            handle = self.prefill_prefix(
-                self._chunk_plan(req.plan, a, a + chunk),
-                image_features=feats, prefix=handle,
-            )
-        return dataclasses.replace(
-            req, plan=self._chunk_plan(req.plan, split, n),
-            prefix=handle, images=None, image_features=feats,
+    def _needs_chunk(self, req: Request) -> bool:
+        """True while `req`'s remaining prompt must be advanced by one more
+        chunk before it can take a slot. Requests arriving with a CALLER
+        prefix handle are never chunked (their plan is already a suffix)."""
+        return bool(
+            self._chunk
+            and req.plan.seq_length > self._chunk
+            and (req.prefix is None or req._chunking)
         )
 
+    def _advance_chunk(self, req: Request) -> None:
+        """Prefill ONE chunk of `req`'s prompt into its chunk-progress handle
+        (in place; the request stays queued). The final <=chunk tokens are
+        left as the request's suffix — their prefill seeds the first sampled
+        token when the request eventually takes a slot."""
+        chunk = self._chunk
+        if req.image_features is None and req.images is not None:
+            # encode once; every chunk splices from the same feature rows
+            req.image_features = self._encode_images_once(req.images)
+            req.images = None
+        n = req.plan.seq_length  # > chunk (guarded by _needs_chunk), so the
+        # remainder after this chunk is >=1 token and can seed the first sample
+        req.prefix = self.prefill_prefix(
+            self._chunk_plan(req.plan, 0, chunk),
+            image_features=req.image_features, prefix=req.prefix,
+        )
+        req.plan = self._chunk_plan(req.plan, chunk, n)
+        req._chunking = True
+
     def _fill_slot(self, slot: int, req: Request) -> None:
-        req = self._maybe_chunk(req)
         plan = req.plan
         if req.prefix is not None:
             logits, kv, new_len = self._run_suffix(
@@ -416,6 +444,7 @@ class Engine:
             jnp.int32(new_len), jnp.int32(new_start), first,
         )
         self.cache = self._cache_cls(*cache_arrays)
+        self.slot_gen[slot] += 1
         self.slot_req[slot] = req
         req.first_token_t = time.perf_counter()
         self._absorb(slot, int(first))
@@ -440,13 +469,51 @@ class Engine:
             done = any(s in text for s in req.stop_strings)
         if done:
             req.done_t = time.perf_counter()
+            # record where the request's KV lives so harvest() can lift it
+            # into a PrefixHandle before the slot is reused. The cache holds
+            # KV for the prompt plus all output tokens EXCEPT the last
+            # sampled one (its KV would have been written by the next step).
+            req.slot = slot
+            req.slot_gen = self.slot_gen[slot]
+            req.final_kv_len = int(np.asarray(self.lengths[slot]))
+            req.final_kv_start = int(np.asarray(self.kv_starts[slot]))
             self.finished.append(req)
             self.slot_req[slot] = None
 
+    def harvest(self, req: Request) -> Optional[PrefixHandle]:
+        """Lift a finished request's slot KV into a reusable PrefixHandle.
+
+        The handle covers the request's prompt plus output_ids[:-1] (the last
+        sampled token's KV was never written — include that token in the next
+        suffix prefill). Returns None if the slot has been refilled since the
+        request finished (the KV is gone) — callers fall back to re-prefill.
+        Zero extra forward passes: this is one batch-1 slice of the shared
+        cache, the ChatSession growth path that replaces a full re-prefill."""
+        if req.slot is None or self.slot_gen[req.slot] != req.slot_gen:
+            return None
+        if not hasattr(self, "_harvest_fn"):
+            self._harvest_fn = jax.jit(lambda arrays, slot: tuple(
+                jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=2)
+                for c in arrays
+            ))
+        kv = self._harvest_fn(tuple(self.cache), jnp.int32(req.slot))
+        return PrefixHandle(
+            cache=kv, length=req.final_kv_len, start=req.final_kv_start
+        )
+
     def _admit(self) -> None:
+        """Move queued requests into free slots. When chunked prefill is on,
+        at most ONE prefill unit (a chunk advance or a slot fill) runs per
+        call, so occupied slots keep decoding between prefill pieces."""
         for slot in range(self.ecfg.num_slots):
             if self.slot_req[slot] is None and self.queue:
+                req = self.queue[0]
+                if self._needs_chunk(req):
+                    self._advance_chunk(req)
+                    return  # request stays queued; decode interleaves
                 self._fill_slot(slot, self.queue.popleft())
+                if self._chunk:
+                    return  # bound per-step prefill work to one unit
 
     def step(self) -> None:
         """Admit queued requests into free slots, then decode one token/slot."""
@@ -471,14 +538,17 @@ class Engine:
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
         """Serve a list of requests to completion; returns the requests that
-        finished during THIS call, in finish order (self.finished keeps the
-        full history across calls — a session reuses one engine)."""
-        start = len(self.finished)
+        finished during THIS call, in finish order. `self.finished` is
+        cleared on entry so a long-lived engine (ChatSession, demo REPL)
+        never accumulates request history."""
+        self.finished = []
         for r in requests:
             self.submit(r)
         while self.queue or any(r is not None for r in self.slot_req):
             self.step()
-        return self.finished[start:]
+        out = self.finished
+        self.finished = []
+        return out
 
     def decode_texts(self, requests: Sequence[Request]) -> Dict[Any, str]:
         """uid -> decoded text (stop strings trimmed) for finished requests."""
