@@ -171,3 +171,107 @@ def test_checkpoint_save_restore_roundtrip(tiny_cfg, tmp_path):
         rcfg = mgr.restore_config()
         assert rcfg is not None and rcfg.decoder.hidden_size == cfg.decoder.hidden_size
         mgr.close()
+
+
+def test_resume_consumes_exact_data_order(tiny_cfg, tmp_path):
+    """VERDICT r3 #2: resume fast-forwards the data stream. A run interrupted
+    at step 6 and resumed to 10 must consume exactly the batches the
+    uninterrupted run would have (no head replay, no tail drop) and land on
+    bitwise-identical state."""
+    from visper_lm_tpu.train.trainer import TrainerConfig, train
+
+    cfg = tiny_cfg
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(10):
+        b = _batch(cfg, bsz=4, seq=64)
+        # distinct per-batch targets/images so data ORDER is observable in
+        # the trained params
+        b["images"] = rng.normal(size=b["images"].shape).astype(np.float32)
+        for t in cfg.distill.tasks:
+            b[f"{t.task}_target"] = rng.normal(
+                size=(4, t.target_tokens, t.target_dim)
+            ).astype(np.float32)
+        batches.append(b)
+
+    def data_iter(epoch, skip_batches=0):
+        yield from batches[skip_batches:]
+
+    opt = OptimizerConfig(
+        learning_rate=1e-3, total_steps=10, warmup_ratio=0.0, stage="pretrain"
+    )
+    kw = dict(dp=2, tp=1, save_steps=100, num_epochs=1)
+
+    t_full = TrainerConfig(
+        output_dir=str(tmp_path / "full"), max_steps=10, resume=False, **kw
+    )
+    s_full = train(cfg, opt, t_full, params, data_iter, use_pallas=False)
+
+    # interrupted at step 6, then resumed to 10 in the same output dir
+    t_a = TrainerConfig(
+        output_dir=str(tmp_path / "res"), max_steps=6, resume=True, **kw
+    )
+    train(cfg, opt, t_a, params, data_iter, use_pallas=False)
+
+    requested = []
+
+    def data_iter2(epoch, skip_batches=0):
+        requested.append((epoch, skip_batches))
+        yield from batches[skip_batches:]
+
+    t_b = TrainerConfig(
+        output_dir=str(tmp_path / "res"), max_steps=10, resume=True, **kw
+    )
+    s_res = train(cfg, opt, t_b, params, data_iter2, use_pallas=False)
+
+    # the resumed run asked the stream for batch 6 onward — steps 7-10 train
+    # on exactly the uninterrupted run's batches
+    assert requested == [(0, 6)], requested
+    assert int(s_res.step) == int(s_full.step) == 10
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_res.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_skip_without_iterator_support(tiny_cfg, tmp_path):
+    """Streams whose data_iter_fn lacks skip_batches are consumed-and-dropped
+    to the same effect (islice fallback)."""
+    from visper_lm_tpu.train.trainer import TrainerConfig, train
+
+    cfg = tiny_cfg
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    batches = []
+    for _ in range(4):
+        b = _batch(cfg, bsz=4, seq=64)
+        for t in cfg.distill.tasks:
+            b[f"{t.task}_target"] = rng.normal(
+                size=(4, t.target_tokens, t.target_dim)
+            ).astype(np.float32)
+        batches.append(b)
+
+    produced = []
+
+    def data_iter(epoch):                 # no skip_batches parameter
+        for i, b in enumerate(batches):
+            produced.append(i)
+            yield b
+
+    opt = OptimizerConfig(
+        learning_rate=1e-3, total_steps=4, warmup_ratio=0.0, stage="pretrain"
+    )
+    kw = dict(dp=2, tp=1, save_steps=100, num_epochs=1)
+    train(cfg, opt, TrainerConfig(
+        output_dir=str(tmp_path / "o"), max_steps=2, resume=True, **kw
+    ), params, data_iter, use_pallas=False)
+    produced.clear()
+    s = train(cfg, opt, TrainerConfig(
+        output_dir=str(tmp_path / "o"), max_steps=4, resume=True, **kw
+    ), params, data_iter, use_pallas=False)
+    assert int(s.step) == 4
+    # the islice fallback still pulled every batch from the generator (0-3),
+    # but only 2-3 were trained on; the cursor made the skip exact
+    assert produced[:2] == [0, 1] and produced[2:] == [2, 3]

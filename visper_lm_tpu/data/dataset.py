@@ -197,6 +197,7 @@ class BatchIterator:
         process_index: int = 0,
         process_count: int = 1,
         num_workers: int = 0,
+        skip_batches: int = 0,
     ):
         """batch_size is PER PROCESS; with process_count > 1 every process computes
         the same global example order from the shared seed, then takes a disjoint
@@ -205,7 +206,11 @@ class BatchIterator:
 
         num_workers > 0 fans the per-sample decode (image load + PIL/native
         resize) over a thread pool — the torch-DataLoader-workers equivalent;
-        order is preserved (pool.map). 0 = inline."""
+        order is preserved (pool.map). 0 = inline.
+
+        skip_batches > 0 skips that many leading batches of this epoch's
+        order WITHOUT decoding their images — the cheap fast-forward used by
+        data-order-correct resume (train/trainer.py)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seq_buckets = seq_buckets
@@ -216,6 +221,7 @@ class BatchIterator:
         self.process_index = process_index
         self.process_count = process_count
         self.num_workers = num_workers
+        self.skip_batches = skip_batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
@@ -254,7 +260,8 @@ class BatchIterator:
                 pool.shutdown(wait=False)
 
     def _batches(self, order, n, vlm, ntt, n_tasks, pool):
-        for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
+        first = self.skip_batches * self.batch_size
+        for start in range(first, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
             idxs = order[start : start + self.batch_size]
             if len(idxs) < self.batch_size and self.drop_last:
                 break

@@ -43,10 +43,23 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any, cfg: Optional[VLMConfig] = None) -> None:
+    def save(
+        self,
+        step: int,
+        state: Any,
+        cfg: Optional[VLMConfig] = None,
+        data_state: Optional[dict] = None,
+    ) -> None:
+        """`data_state` is the data-stream cursor — {"epoch", "steps_in_epoch",
+        "seed"} — persisted so resume can fast-forward the iterator to the
+        exact next unseen batch (HF Trainer skip-to-batch parity; the
+        reference gets this from ignore_data_skip=False auto-resume,
+        /root/reference/ola_vlm/train/train.py:1114-1117)."""
         args = {"state": ocp.args.StandardSave(state)}
         if cfg is not None:
             args["config"] = ocp.args.JsonSave(json.loads(config_to_json(cfg)))
+        if data_state is not None:
+            args["data"] = ocp.args.JsonSave(data_state)
         self._mgr.save(step, args=ocp.args.Composite(**args))
 
     def wait(self) -> None:
@@ -77,6 +90,21 @@ class CheckpointManager:
                 step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
             )
             return config_from_json(json.dumps(restored["config"]))
+        except Exception:
+            return None
+
+    def restore_data_state(self, step: Optional[int] = None) -> Optional[dict]:
+        """The data-stream cursor saved alongside `step` (None for pre-cursor
+        checkpoints — callers fall back to restarting the stream)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.Composite(data=ocp.args.JsonRestore())
+            )
+            return dict(restored["data"])
         except Exception:
             return None
 

@@ -265,7 +265,7 @@ def main() -> None:
 
     distill_tasks = tuple(t.task for t in cfg.distill.tasks) if cfg.distill else ()
 
-    def data_iter(epoch: int):
+    def data_iter(epoch: int, skip_batches: int = 0):
         it = BatchIterator(
             ds, args.per_device_batch_size,
             seq_buckets=tuple(int(x) for x in args.seq_buckets.split(",")),
@@ -273,6 +273,7 @@ def main() -> None:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             num_workers=args.dataloader_num_workers,
+            skip_batches=skip_batches,
         )
         from PIL import Image
 
@@ -297,13 +298,15 @@ def main() -> None:
                     batch.update(teacher_batch_from_pil(cfg, pil))
             yield batch
 
-    def prefetched_iter(epoch: int):
+    def prefetched_iter(epoch: int, skip_batches: int = 0):
         if args.prefetch_depth <= 0:
-            return data_iter(epoch)
+            return data_iter(epoch, skip_batches)
         from visper_lm_tpu.data.prefetch import PrefetchIterator
 
         # batch assembly + teacher featurization overlap the device step
-        return PrefetchIterator(data_iter(epoch), depth=args.prefetch_depth)
+        return PrefetchIterator(
+            data_iter(epoch, skip_batches), depth=args.prefetch_depth
+        )
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     if args.init_from:

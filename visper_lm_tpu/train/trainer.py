@@ -164,14 +164,39 @@ def train(
         )
 
         start_step = 0
+        start_epoch, skip_in_epoch = 0, 0
         if trainer_cfg.resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
             start_step = int(ckpt.latest_step())
+            # data-order-correct resume: fast-forward the stream to the first
+            # unseen batch instead of replaying the epoch head / dropping the
+            # tail (HF Trainer skip-to-batch parity, train.py:1114-1117 +
+            # ignore_data_skip=False)
+            cursor = ckpt.restore_data_state()
+            if cursor is not None:
+                start_epoch = int(cursor.get("epoch", 0))
+                skip_in_epoch = int(cursor.get("steps_in_epoch", 0))
+                saved_seed = cursor.get("seed")
+                if saved_seed is not None and saved_seed != trainer_cfg.seed:
+                    print(
+                        f"resume: checkpoint data seed {saved_seed} != "
+                        f"configured seed {trainer_cfg.seed}; the skipped "
+                        "batches will not match the original run's order"
+                    )
 
         step = start_step
         t_last = time.perf_counter()
         accum = max(1, trainer_cfg.grad_accum_steps)
-        for epoch in range(trainer_cfg.num_epochs):
+        epoch, epoch_step = start_epoch, skip_in_epoch
+
+        def _cursor() -> Dict[str, Any]:
+            return {
+                "epoch": epoch,
+                "steps_in_epoch": epoch_step,
+                "seed": trainer_cfg.seed,
+            }
+
+        for epoch in range(start_epoch, trainer_cfg.num_epochs):
             def transfer(batch):
                 batch = {k: v for k, v in batch.items() if k != "pil_images"}
                 return shard_batch(batch, mesh, leading_accum=accum > 1)
@@ -192,14 +217,43 @@ def train(
                         }
                         group = []
 
+            skip = skip_in_epoch * accum if epoch == start_epoch else 0
+            if skip:
+                # fast-forward past the host batches the interrupted run
+                # already trained on; data_iter_fn(epoch) is seeded by epoch,
+                # so the stream order is reproducible. Iterators that accept
+                # skip_batches (BatchIterator) skip without decoding images;
+                # otherwise consume-and-drop.
+                import inspect
+
+                try:
+                    takes_skip = "skip_batches" in inspect.signature(
+                        data_iter_fn
+                    ).parameters
+                except (TypeError, ValueError):
+                    takes_skip = False
+                if takes_skip:
+                    host_iter = data_iter_fn(epoch, skip_batches=skip)
+                else:
+                    import itertools
+
+                    host_iter = itertools.islice(
+                        data_iter_fn(epoch), skip, None
+                    )
+                epoch_step = skip_in_epoch
+            else:
+                host_iter = data_iter_fn(epoch)
+                epoch_step = 0
+
             for dbatch in _Prefetcher(
-                grouped(data_iter_fn(epoch)), transfer,
+                grouped(host_iter), transfer,
                 depth=trainer_cfg.prefetch_depth,
             ):
                 if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
                     break
                 state, metrics = step_fn(state, dbatch)
                 step += 1
+                epoch_step += 1
 
                 if step % trainer_cfg.logging_steps == 0:
                     now = time.perf_counter()
@@ -209,7 +263,7 @@ def train(
                     logger.log(step, metrics)
 
                 if step % trainer_cfg.save_steps == 0:
-                    ckpt.save(step, state, cfg)
+                    ckpt.save(step, state, cfg, data_state=_cursor())
 
                 for hook in step_hooks:
                     try:
@@ -218,7 +272,7 @@ def train(
                         print(f"step hook failed at {step}: {e}")
 
                 if preempted["flag"]:
-                    ckpt.save(step, state, cfg)
+                    ckpt.save(step, state, cfg, data_state=_cursor())
                     ckpt.wait()
                     break
                 if trainer_cfg.max_steps and step >= trainer_cfg.max_steps:
@@ -226,7 +280,7 @@ def train(
             if preempted["flag"] or (trainer_cfg.max_steps and step >= trainer_cfg.max_steps):
                 break
 
-        ckpt.save(step, state, cfg)
+        ckpt.save(step, state, cfg, data_state=_cursor())
         ckpt.wait()
         ckpt.close()
     if prev_handler is not None:
