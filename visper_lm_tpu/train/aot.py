@@ -62,6 +62,9 @@ def build_abstract_batch(cfg, batch_size: int, seq_len: int, *,
         "labels": sds((b, t), np.int32),
         "images": sds((b, img, img, 3), np.float32),
     }
+    if cfg.distill is None:
+        # IFT-stage batch: plain NTP over the spliced sequence (finetune.sh)
+        return batch
     for tcfg in cfg.distill.tasks:
         batch[f"{tcfg.task}_mask"] = sds((b,), np.float32)
     if with_teachers:
@@ -91,9 +94,19 @@ def lower_flagship_step(
     mu_dtype: Optional[str] = None,
     learning_rate: float = 1e-3,
     shard_teachers: bool = False,
+    stage: str = "pretrain",
+    master_weights: bool = False,
+    remat_policy: Optional[str] = None,
 ):
-    """Lower the full distill train step with abstract (never materialized)
-    arguments. Returns the jax Lowered object."""
+    """Lower the full train step with abstract (never materialized) arguments.
+    Returns the jax Lowered object.
+
+    stage follows the reference freeze policies: 'pretrain' trains only
+    projector/heads/tokens under a frozen 8B trunk (pretrain.sh:31); 'finetune'
+    trains the FULL model except the vision tower at lr 2e-5 (finetune.sh:15-48
+    — the regime every headline checkpoint ships through); 'vpt' additionally
+    unfreezes the vision tower (vpt.sh). master_weights adds the f32 master
+    copy (DeepSpeed bf16-mode fp32_weights equivalent)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -107,7 +120,7 @@ def lower_flagship_step(
     )
 
     opt_kwargs = dict(learning_rate=learning_rate, total_steps=1000,
-                      stage="pretrain")
+                      stage=stage, master_weights=master_weights)
     if mu_dtype:
         opt_kwargs["mu_dtype"] = mu_dtype
     opt_cfg = OptimizerConfig(**opt_kwargs)
@@ -155,7 +168,8 @@ def lower_flagship_step(
         )
 
     base_loss_fn = make_loss_fn(
-        cfg, teacher_fn=teacher_fn, remat=remat, use_pallas=use_pallas
+        cfg, teacher_fn=teacher_fn, remat=remat, remat_policy=remat_policy,
+        use_pallas=use_pallas,
     )
     # the EXACT step body training runs (loss merge, pinned-host moment
     # staging, tx.update) — shared so the compiled fit can't drift from it
@@ -254,6 +268,19 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=8, help="GLOBAL batch")
     parser.add_argument("--seq", type=int, default=4096)
     parser.add_argument("--model", default="llama3", choices=["llama3", "phi3"])
+    parser.add_argument("--stage", default="pretrain",
+                        choices=["pretrain", "finetune", "vpt"],
+                        help="pretrain = frozen-trunk distillation (PT); "
+                        "finetune = FULL-model IFT, no distill heads/teachers "
+                        "(finetune.sh); vpt = distill stage with the vision "
+                        "tower also unfrozen (vpt.sh)")
+    parser.add_argument("--master-weights", action="store_true",
+                        help="f32 master copy of bf16 trainables "
+                        "(DeepSpeed bf16-mode fp32_weights equivalent)")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="peak lr (default: 1e-3 PT / 2e-5 IFT+VPT)")
+    parser.add_argument("--remat-policy", default=None,
+                        help="remat save set (models/decoder.py _remat_policy)")
     parser.add_argument("--no-teachers", action="store_true")
     parser.add_argument("--no-zero3", action="store_true")
     parser.add_argument("--offload-opt", action="store_true")
@@ -274,8 +301,14 @@ def main(argv=None) -> int:
     from visper_lm_tpu.config import llama3_clip_vlm, phi3_clip_vlm
     from visper_lm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+    # IFT (finetune.sh) trains plain LLaVA: no distill heads, no teachers.
+    # PT and VPT carry the distillation stack (VPT = vpt.sh keeps the heads
+    # from the PT checkpoint and unfreezes the vision tower).
+    distill = args.stage != "finetune"
+    if args.stage == "finetune":
+        args.no_teachers = True
     cfg = (llama3_clip_vlm if args.model == "llama3" else phi3_clip_vlm)(
-        distill=True
+        distill=distill
     )
     if args.seq:
         cfg = dataclasses.replace(
@@ -298,6 +331,10 @@ def main(argv=None) -> int:
         mu_dtype=args.mu_dtype,
         use_pallas=not args.no_pallas,
         shard_teachers=args.shard_teachers,
+        stage=args.stage,
+        master_weights=args.master_weights,
+        learning_rate=args.lr or (1e-3 if args.stage == "pretrain" else 2e-5),
+        remat_policy=args.remat_policy,
     )
     t_lower = time.time() - t0
     print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)
@@ -308,6 +345,9 @@ def main(argv=None) -> int:
 
     report = {
         "model": args.model,
+        "stage": args.stage,
+        "master_weights": args.master_weights,
+        "remat_policy": args.remat_policy,
         "topology": args.topology,
         "mesh": {"data": args.dp, "model": args.tp},
         "global_batch": args.batch,

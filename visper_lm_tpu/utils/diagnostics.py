@@ -84,10 +84,31 @@ def train_step_flops(cfg, batch_size: int, seq_len: int) -> float:
     flops = 6.0 * p_dec * tokens
     # causal attention: 2 matmuls fwd + 4 bwd, half the T^2 square
     flops += 6.0 * batch_size * d.num_layers * seq_len * seq_len * d.num_heads * d.head_dim / 2
+    flops += vision_flops(cfg) * batch_size
+    return flops
+
+
+def vision_flops(cfg) -> float:
+    """Analytic forward FLOPs per image through the configured tower."""
+    if getattr(cfg, "use_convnext_tower", False) and cfg.convnext is not None:
+        return convnext_flops(cfg.convnext)
     v = cfg.vision
     p_vis = v.num_layers * (4 * v.hidden_size ** 2 + 2 * v.hidden_size * v.mlp_dim)
-    flops += 2.0 * p_vis * batch_size * (v.num_patches + 1)
-    return flops
+    return 2.0 * p_vis * (v.num_patches + 1)
+
+
+def convnext_flops(ccfg) -> float:
+    """Analytic forward FLOPs per image for the ConvNeXt trunk (config #3's
+    XXL@768: stem /4 then 4 stages at /4,/8,/16,/32). Per block at dim d over
+    N tokens: 7x7 depthwise (2*49*d) + two 4x MLP matmuls (2*8*d^2)."""
+    side = ccfg.image_size // 4
+    total = 2.0 * side * side * ccfg.dims[0] * 3 * 16  # stem 4x4 conv
+    for s, (depth, d) in enumerate(zip(ccfg.depths, ccfg.dims)):
+        n = (ccfg.image_size // (4 * 2 ** s)) ** 2
+        if s > 0:
+            total += 2.0 * n * ccfg.dims[s - 1] * d * 4  # 2x2 downsample conv
+        total += depth * n * (2.0 * 49 * d + 16.0 * d * d)
+    return total
 
 
 def teacher_flops(batch_size: int) -> float:
