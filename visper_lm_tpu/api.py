@@ -289,7 +289,13 @@ class VisperModel:
             import json
 
             hf_cfg = json.load(open(cfg_json))
-        if hf_cfg.get("hidden_size"):
+        if hf_cfg.get("visper_config"):
+            # our own exports carry the complete VLMConfig (hf_export.
+            # save_hf_checkpoint) — lossless round trip
+            from visper_lm_tpu.config import config_from_json
+
+            cfg = config_from_json(json.dumps(hf_cfg["visper_config"]))
+        elif hf_cfg.get("hidden_size"):
             cfg = config_from_hf_json(hf_cfg)  # self-describing checkpoint
         else:
             cfg = config_for_model_name(model_name)

@@ -174,3 +174,48 @@ def save_safetensors(sd: StateDict, path: str) -> None:
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
+def save_hf_checkpoint(model_dir: str, params: Dict[str, Any], cfg: VLMConfig) -> None:
+    """Write a complete HF-layout checkpoint directory: model.safetensors in
+    the reference's key surface plus a config.json that is BOTH
+      * HF-decoder-loadable (LlamaForCausalLM/Phi3ForCausalLM field set, so
+        transformers can instantiate the text model for logit-parity gates —
+        eval/validate.py), and
+      * fully self-describing for this framework (the whole VLMConfig under
+        "visper_config"; api.from_hf_checkpoint prefers it over the lossy
+        reference-field reconstruction).
+    Reference parity anchor: the denormalized self-describing config the
+    trainer injects (ola_vlm_train.py:1196-1231)."""
+    import json
+
+    from visper_lm_tpu.config import config_to_json
+
+    os.makedirs(model_dir, exist_ok=True)
+    save_safetensors(export_vlm(params, cfg), os.path.join(model_dir, "model.safetensors"))
+    d = cfg.decoder
+    arch = "Phi3ForCausalLM" if d.family == "phi3" else "LlamaForCausalLM"
+    hf_cfg = {
+        "architectures": [arch],
+        "model_type": "phi3" if d.family == "phi3" else "llama",
+        "vocab_size": d.vocab_size,
+        "hidden_size": d.hidden_size,
+        "intermediate_size": d.mlp_dim,
+        "num_hidden_layers": d.num_layers,
+        "num_attention_heads": d.num_heads,
+        "num_key_value_heads": d.num_kv_heads,
+        "head_dim": d.head_dim,
+        "rope_theta": d.rope_theta,
+        "rms_norm_eps": d.norm_eps,
+        "max_position_embeddings": d.max_seq_len,
+        "max_sequence_length": d.max_seq_len,
+        "tie_word_embeddings": d.tie_embeddings,
+        "torch_dtype": "float32",
+        "mm_vision_tower": "convnext" if cfg.use_convnext_tower else "clip",
+        "mm_patch_merge_type": cfg.mm_patch_merge_type,
+        "image_aspect_ratio": cfg.image_aspect_ratio,
+        "mm_use_im_patch_token": False,
+        "visper_config": json.loads(config_to_json(cfg)),
+    }
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
