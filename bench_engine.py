@@ -195,10 +195,34 @@ def main() -> None:
     cached_s = min(time_turn(Request(plan=delta_plan, prefix=handle,
                                      max_new_tokens=mn)) for _ in range(3))
 
+    # ---- 4. slot-wise speculative decoding over the same workload ----------
+    # greedy-exact: same tokens, fewer target weight reads. Acceptance (and so
+    # the speedup) is workload-dependent — random-weight greedy decode repeats
+    # tokens, so treat the acceptance rate printed alongside as the context.
+    del eng3
+    eng4 = Engine(params, cfg, EngineConfig(
+        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+        spec_k=4, spec_ngram=3,
+    ))
+    reqs4 = [Request(plan=pl, images=im, max_new_tokens=mn_, uid=i)
+             for i, (pl, im, mn_) in enumerate(reqs_spec)]
+    t0 = time.perf_counter()
+    fin4 = eng4.run(reqs4)
+    spec_e2e_s = time.perf_counter() - t0
+    spec_tok = sum(len(r.output_ids) for r in fin4)
+    spec_acc = (
+        eng4.stats["spec_accepted"] / max(eng4.stats["spec_proposed"], 1)
+    )
+
     print(json.dumps({
         "metric": "engine_decode_tokens_per_sec",
         "value": round(n_tok / eng_e2e_s, 2),
         "unit": "tokens/s",
+        "spec_tokens_per_sec": round(spec_tok / spec_e2e_s, 2),
+        "spec_acceptance_rate": round(spec_acc, 3),
+        "spec_tokens_per_step": round(
+            spec_tok / max(eng4.stats["steps"], 1), 2),
+        "spec_speedup": round(eng_e2e_s / spec_e2e_s, 2),
         "engine_step_ms": round(eng_step_ms, 2),
         "generator_step_ms": round(gen_step_ms, 2),
         "scatter_overhead_pct": round(

@@ -96,12 +96,20 @@ def pipeline_scan(
         axis_names=frozenset({pipe_axis}),
         # partial-manual shard_map REQUIRES varying-axis typing (with
         # check_vma=False every output is typed as varying over ALL mesh axes
-        # and the out_specs are rejected); _stage pvary-promotes the
-        # replicated inputs where they mix with pipe-varying values
+        # and the out_specs are rejected); _stage promotes the replicated
+        # inputs to pipe-varying (lax.pcast) where they mix with varying values
         check_vma=True,
     )
     out = fn(stacked_params, h_m, args_m)          # (S, M, B/M, ...)
     return out[-1].reshape((b,) + h.shape[1:])
+
+
+def _to_varying(x, axis_name):
+    """Promote a replicated value's varying-axis type (pcast replaced the
+    deprecated jax.lax.pvary; keep a fallback for older jax)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+    return jax.lax.pvary(x, (axis_name,))
 
 
 def _stage(blocks, h_m, args_m, *, block_fn, s_stages, m, pipe_axis, is_split):
@@ -109,12 +117,12 @@ def _stage(blocks, h_m, args_m, *, block_fn, s_stages, m, pipe_axis, is_split):
     perm = [(i, (i + 1) % s_stages) for i in range(s_stages)]
     # replicated inputs mix with pipe-varying values below — promote their
     # vma type explicitly (check_vma=True)
-    h_m = jax.lax.pvary(h_m, (pipe_axis,))
+    h_m = _to_varying(h_m, pipe_axis)
     args_m = jax.tree_util.tree_map(
-        lambda x: jax.lax.pvary(x, (pipe_axis,)), args_m
+        lambda x: _to_varying(x, pipe_axis), args_m
     )
     h0 = jnp.zeros_like(h_m[0])                     # varying (inherits from h_m)
-    out0 = jax.lax.pvary(jnp.zeros(h_m.shape, h_m.dtype), (pipe_axis,))
+    out0 = _to_varying(jnp.zeros(h_m.shape, h_m.dtype), pipe_axis)
 
     def tick(carry, t_):
         h_cur, out_buf = carry

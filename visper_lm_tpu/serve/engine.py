@@ -70,6 +70,16 @@ class EngineConfig:
     kv_quant: bool = False             # int8 KV cache (same tradeoff as Generator)
     weight_quant: object = False       # False | True/"int8" | "int4"
     calibration: object = None
+    # slot-wise speculative decoding (greedy only): every engine step runs ONE
+    # (B, k+1)-token target verify chunk instead of a 1-token step; per-slot
+    # proposals come from prompt-lookup n-gram drafting over each slot's own
+    # token history (serve/speculative.ngram_propose) — no draft model, no
+    # extra cache. Acceptance is per slot; rejected KV slots are masked by the
+    # per-slot lengths and overwritten in place by the next (monotonically
+    # advancing) chunk write, exactly the batch-1 scheme in
+    # serve/speculative.py. Greedy outputs are token-exact vs the plain step.
+    spec_k: int = 0                    # drafted tokens per step (0 = off)
+    spec_ngram: int = 3                # n-gram length for prompt lookup
 
 
 @dataclasses.dataclass
@@ -117,6 +127,9 @@ class Request:
     # engine-internal: this request is mid chunked-prefill (its `prefix` is
     # engine-built chunk progress, not a caller-supplied handle)
     _chunking: bool = False
+    # engine-internal: token history for prompt-lookup proposals (prompt text
+    # ids + generated ids; spec_k > 0 only)
+    _history: List[int] = dataclasses.field(default_factory=list)
 
 
 class Engine:
@@ -174,8 +187,14 @@ class Engine:
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._key = jax.random.PRNGKey(0)
+        if ecfg.spec_k:
+            assert ecfg.temperature == 0.0, (
+                "engine speculative decoding is greedy-only (temperature 0); "
+                "sampling uses the plain step or serve/speculative.py"
+            )
+            self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(1,))
         self.stats = {"steps": 0, "decoded_tokens": 0, "slot_steps": 0,
-                      "prefills": 0}
+                      "prefills": 0, "spec_proposed": 0, "spec_accepted": 0}
 
     # ---------------------------------------------------------------- prefill
 
@@ -359,6 +378,28 @@ class Engine:
         new_lengths = jnp.minimum(lengths + 1, self.ecfg.max_len)
         return next_tokens, tuple(out["cache"]), new_lengths
 
+    def _spec_step_impl(self, params, cache_arrays, chunk_tokens, lengths,
+                        kv_starts):
+        """Verify a (B, spec_k+1) token chunk for every slot at its own
+        positions in ONE target forward — one weight read serves up to k+1
+        tokens per slot. Returns the target argmax at every position."""
+        cfg = self.cfg
+        k1 = self.ecfg.spec_k + 1
+        cache = self._cache_cls(*cache_arrays)
+        emb = dec.embed_tokens(params["decoder"], chunk_tokens)  # (B, k+1, D)
+        positions = (lengths - kv_starts)[:, None] + jnp.arange(k1)[None, :]
+        out = dec.decoder_forward(
+            params["decoder"], cfg.decoder, emb,
+            positions=positions,
+            kv_lengths=lengths + k1,
+            kv_starts=kv_starts,
+            cache=cache,
+            q_offset=lengths,
+            tap_layers=(),
+        )
+        argmax = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+        return argmax, tuple(out["cache"])
+
     # ------------------------------------------------------------- host logic
 
     def submit(self, req: Request) -> None:
@@ -406,12 +447,22 @@ class Engine:
             req.images = None
         n = req.plan.seq_length  # > chunk (guarded by _needs_chunk), so the
         # remainder after this chunk is >=1 token and can seed the first sample
+        head = self._chunk_plan(req.plan, 0, chunk)
+        if self.ecfg.spec_k:
+            req._history.extend(self._plan_text_ids(head))
         req.prefix = self.prefill_prefix(
-            self._chunk_plan(req.plan, 0, chunk),
-            image_features=req.image_features, prefix=req.prefix,
+            head, image_features=req.image_features, prefix=req.prefix,
         )
         req.plan = self._chunk_plan(req.plan, chunk, n)
         req._chunking = True
+
+    @staticmethod
+    def _plan_text_ids(plan: SplicePlan) -> List[int]:
+        from visper_lm_tpu.constants import SEG_TEXT
+
+        tt = np.asarray(plan.token_type)[: plan.seq_length]
+        ids = np.asarray(plan.text_ids)[: plan.seq_length]
+        return [int(t) for t in ids[tt == SEG_TEXT]]
 
     def _fill_slot(self, slot: int, req: Request) -> None:
         plan = req.plan
@@ -447,22 +498,32 @@ class Engine:
         self.slot_gen[slot] += 1
         self.slot_req[slot] = req
         req.first_token_t = time.perf_counter()
+        if self.ecfg.spec_k:
+            req._history.extend(self._plan_text_ids(plan))
         self._absorb(slot, int(first))
         self.stats["prefills"] += 1
 
-    def _absorb(self, slot: int, token: int) -> None:
-        """Append a sampled token to the slot's request; retire on stop."""
+    def _absorb(self, slot: int, token: int,
+                slot_len: Optional[int] = None) -> None:
+        """Append a sampled token to the slot's request; retire on stop.
+        `slot_len` overrides the capacity check's view of the slot's kv
+        length (the speculative path emits several tokens before the device
+        lengths array is refreshed)."""
         req = self.slot_req[slot]
         if req is None:
             return
         req.output_ids.append(token)
+        if self.ecfg.spec_k:
+            req._history.append(token)
         if req.stream_callback is not None:
             req.stream_callback(token)
         self.stats["decoded_tokens"] += 1
+        if slot_len is None:
+            slot_len = int(np.asarray(self.lengths[slot]))
         done = (
             token in req.eos_token_ids
             or len(req.output_ids) >= req.max_new_tokens
-            or self.ecfg.max_len - int(np.asarray(self.lengths[slot])) <= 1
+            or self.ecfg.max_len - slot_len <= 1
         )
         if not done and req.stop_strings and self.tokenizer is not None:
             text = self.tokenizer.decode(req.output_ids, skip_special_tokens=False)
@@ -475,7 +536,7 @@ class Engine:
             # sampled one (its KV would have been written by the next step).
             req.slot = slot
             req.slot_gen = self.slot_gen[slot]
-            req.final_kv_len = int(np.asarray(self.lengths[slot]))
+            req.final_kv_len = slot_len
             req.final_kv_start = int(np.asarray(self.kv_starts[slot]))
             self.finished.append(req)
             self.slot_req[slot] = None
@@ -516,9 +577,13 @@ class Engine:
                     return  # bound per-step prefill work to one unit
 
     def step(self) -> None:
-        """Admit queued requests into free slots, then decode one token/slot."""
+        """Admit queued requests into free slots, then decode one token/slot
+        (or verify a speculative chunk per slot when spec_k is on)."""
         self._admit()
         if not any(r is not None for r in self.slot_req):
+            return
+        if self.ecfg.spec_k and self._spec_capacity_ok():
+            self._spec_decode_step()
             return
         self._key, sub = jax.random.split(self._key)
         next_tokens, cache_arrays, self.lengths = self._step(
@@ -535,6 +600,75 @@ class Engine:
         for slot in range(self.ecfg.num_slots):
             if self.slot_req[slot] is not None:
                 self._absorb(slot, int(toks[slot]))
+
+    def _spec_capacity_ok(self) -> bool:
+        """A verify chunk writes spec_k+1 KV slots per ACTIVE slot; near the
+        cache end (or max_new_tokens) fall back to the plain 1-token step so
+        the chunk's dynamic-update-slice can never clamp backwards and
+        overwrite valid slots."""
+        k1 = self.ecfg.spec_k + 1
+        lengths = np.asarray(self.lengths)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            if int(lengths[slot]) + k1 > self.ecfg.max_len:
+                return False
+        return True
+
+    def _spec_decode_step(self) -> None:
+        """One speculative engine step: host n-gram proposals per slot, one
+        batched (B, k+1) verify forward, per-slot greedy acceptance. Emitted
+        tokens are exactly the target's greedy tokens (drafts only move how
+        many land per weight read, never their values)."""
+        from visper_lm_tpu.serve.speculative import ngram_propose
+
+        k = self.ecfg.spec_k
+        B = self.ecfg.num_slots
+        toks_host = np.asarray(self.tokens)
+        chunk = np.zeros((B, k + 1), np.int32)
+        proposals: List[List[int]] = []
+        for slot in range(B):
+            req = self.slot_req[slot]
+            prop = (
+                ngram_propose(req._history, self.ecfg.spec_ngram, k)
+                if req is not None else []
+            )
+            proposals.append(list(prop))
+            chunk[slot, 0] = toks_host[slot]
+            chunk[slot, 1 : 1 + len(prop)] = prop
+        argmax, cache_arrays = self._spec_step(
+            self.params, tuple(self.cache), jnp.asarray(chunk),
+            self.lengths, self.kv_starts,
+        )
+        self.cache = self._cache_cls(*cache_arrays)
+        am = np.asarray(argmax)
+        lengths = np.asarray(self.lengths).copy()
+        new_tokens = toks_host.copy()
+        self.stats["steps"] += 1
+        for slot in range(B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            self.stats["slot_steps"] += 1
+            prop = proposals[slot]
+            n_acc = 0
+            while n_acc < len(prop) and prop[n_acc] == int(am[slot, n_acc]):
+                n_acc += 1
+            self.stats["spec_proposed"] += len(prop)
+            self.stats["spec_accepted"] += n_acc
+            # accepted drafts verbatim + one bonus token from the target
+            emitted = prop[:n_acc] + [int(am[slot, n_acc])]
+            base = int(lengths[slot])
+            adv = 0
+            for j, t in enumerate(emitted):
+                self._absorb(slot, int(t), slot_len=base + j + 1)
+                adv = j + 1
+                if self.slot_req[slot] is None:
+                    break
+            lengths[slot] = base + adv
+            new_tokens[slot] = emitted[adv - 1]
+        self.lengths = jnp.asarray(lengths)
+        self.tokens = jnp.asarray(new_tokens)
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
         """Serve a list of requests to completion; returns the requests that
