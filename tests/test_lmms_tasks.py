@@ -543,3 +543,164 @@ def test_mmmu_scoring_and_aggregation_parity():
     # doc_to_text parity (options literal-string quirk + <image i> replacement)
     for doc in docs:
         assert mm.mmmu_doc_to_text(doc) == ref.mmmu_doc_to_text(doc), doc["id"]
+
+
+# ---------------------------------------------------------------- MMBench
+
+
+def _ref_mmbench_evaluator():
+    """Import the fork's MMBench_Evaluator read-only, stubbing the GPT-API
+    deps (openai/azure/cv2) its module imports but the rule-based path never
+    touches."""
+    import types
+
+    class _Anything:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            return self
+
+        def __getattr__(self, name):
+            return _Anything()
+
+    for name in ("openai", "cv2"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            if name == "openai":
+                m.AzureOpenAI = _Anything
+            sys.modules[name] = m
+    if "azure" not in sys.modules:
+        az = types.ModuleType("azure")
+        ident = types.ModuleType("azure.identity")
+        for attr in ("AzureCliCredential", "ChainedTokenCredential",
+                     "DefaultAzureCredential", "get_bearer_token_provider"):
+            setattr(ident, attr, _Anything)
+        az.identity = ident
+        sys.modules["azure"] = az
+        sys.modules["azure.identity"] = ident
+    from lmms_eval.tasks.mmbench.mmbench_evals import MMBench_Evaluator
+
+    return MMBench_Evaluator(sys_prompt="There are several options:")
+
+
+CASES = [
+    ("B", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("The answer is (B).", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("A", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("A is a good day to answer", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("I would pick C: because", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("the blue one", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("blue or green", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("D.", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("(C).", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("nothing matches here", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("A B", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+    ("answer: B, final", {"A": "red", "B": "blue", "C": "green", "D": "grey"}),
+]
+
+
+@pytest.mark.skipif(lmms_eval is None, reason="reference lmms-eval not importable")
+def test_mmbench_infer_parity():
+    """Letter extraction matches the fork's can_infer rule ladder exactly."""
+    ev = _ref_mmbench_evaluator()
+    for answer, choices in CASES:
+        ref = ev.can_infer(answer, dict(choices))
+        got = lt.mmbench_infer(answer, dict(choices))
+        assert got == ref, (answer, got, ref)
+
+
+@pytest.mark.skipif(lmms_eval is None, reason="reference lmms-eval not importable")
+def test_mmbench_circular_parity():
+    """Per-question circular hits match the fork's eval_sub_data on groups
+    where every rotation rule-resolves (the no-GPT regime)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _ref_mmbench_evaluator()
+    rng = np.random.default_rng(0)
+    opts = ["red", "blue", "green", "grey"]
+    records = []
+    for base in range(12):
+        n_rot = int(rng.integers(2, 5))
+        correct = int(rng.integers(0, 4))
+        for k in range(n_rot):
+            rot = [opts[(j + k) % 4] for j in range(4)]
+            ans_letter = "ABCD"[rot.index(opts[correct])]
+            # half the questions answered consistently right, half with one
+            # wrong rotation; plus affixed letter forms for variety
+            right = base % 2 == 0 or k != 1
+            pred_letter = ans_letter if right else "ABCD"[
+                (rot.index(opts[correct]) + 1) % 4
+            ]
+            form = [pred_letter, f"({pred_letter}).", f"{pred_letter}."][k % 3]
+            records.append({
+                "index": base + k * 1_000_000,
+                "question": f"q{base}",
+                "prediction": form,
+                "answer": ans_letter,
+                "category": "cat",
+                "l2_category": "l2",
+                "A": rot[0], "B": rot[1], "C": rot[2], "D": rot[3],
+            })
+
+    # reference: eval_sub_data per circular group
+    df = pd.DataFrame(records)
+    answer_map = {r["index"]: r["answer"] for r in records}
+    ref_hits = {}
+    for base in sorted(set(int(r["index"]) % 1_000_000 for r in records)):
+        sub = df[df["index"] % 1_000_000 == base]
+        ref_hits[base] = ev.eval_sub_data(sub, answer_map)
+
+    groups = lt._mmbench_groups(records)
+    got_hits = {b: lt._mmbench_hit(rows)[0] for b, rows in groups.items()}
+    assert got_hits == ref_hits, (got_hits, ref_hits)
+    ref_acc = 100.0 * sum(ref_hits.values()) / len(ref_hits)
+    assert abs(lt.mmbench_aggregate_circular(records) - ref_acc) < 1e-9
+
+
+def test_mmbench_task_end_to_end():
+    """mmbench_task through the mini harness: circular scoring + prompt shape."""
+    from PIL import Image
+
+    docs = []
+    for base in range(3):
+        for k in range(2):
+            rot = ["x", "y"] if k == 0 else ["y", "x"]
+            ans = "AB"[rot.index("x")]
+            docs.append({
+                "index": base + k * 1_000_000,
+                "question": f"pick x ({base})",
+                "hint": float("nan"),
+                "answer": ans,
+                "A": rot[0], "B": rot[1],
+                "category": "synthetic", "L2-category": "synthetic",
+                "image": Image.new("RGB", (8, 8)),
+            })
+
+    class EchoLM:
+        task_dict = {}
+
+        def generate_until(self, instances):
+            # answer 'A' always: correct only for questions where x is at A
+            # in EVERY rotation (never, given the rotations) -> acc 0; then
+            # an oracle LM answering the right letter -> acc 100
+            return ["A" for _ in instances]
+
+    task = lt.mmbench_task(docs)
+    out = evaluate(EchoLM(), [task])["mmbench_en_dev"]
+    assert out["mmbench_circular_acc"] == 0.0
+    assert out["mmbench_unresolved_rate"] == 0.0
+
+    class OracleLM:
+        task_dict = {}
+
+        def generate_until(self, instances):
+            return [d["answer"] for d in docs]
+
+    out = evaluate(OracleLM(), [task])["mmbench_en_dev"]
+    assert out["mmbench_circular_acc"] == 100.0
+    prompt = task.doc_to_text(docs[0])
+    assert "There are several options:" in prompt
+    assert prompt.endswith("letter from the given choices directly.")
+    assert "nan" not in prompt  # hint was nan -> omitted

@@ -726,6 +726,7 @@ def task_builders() -> Dict[str, Any]:
         "infovqa_val": infovqa_task,
         "vizwiz_vqa_val": vizwiz_task,
         "mmmu_val": _mmmu_task,
+        "mmbench_en_dev": mmbench_task,
     }
 
 
@@ -733,3 +734,161 @@ def _mmmu_task(docs):
     from visper_lm_tpu.eval.mmmu import mmmu_task
 
     return mmmu_task(docs)
+
+
+# ---------------------------------------------------------------- MMBench
+# Circular evaluation (tasks/mmbench/{en_utils,mmbench_evals}.py): every
+# question appears N times with rotated option orderings (rotation k has
+# index = base + k*1e6); a question counts as correct only if EVERY rotation's
+# extracted letter matches its (rotated) ground truth. Letter extraction is
+# the fork's rule ladder (bare letter -> affixed letter -> option-text
+# containment, mmbench_evals.can_infer_option/can_infer_text:91-135); the
+# fork's final fallback asks a GPT judge and then answers RANDOMLY
+# (extract_answer_from_item:179-213) — an external-API boundary this native
+# scorer does not cross: unresolved rotations count as WRONG and are surfaced
+# via mmbench_unresolved_rate so the boundary is visible, not silent.
+
+MMBENCH_SYS_PROMPT = "There are several options:"
+MMBENCH_POST_PROMPT = (
+    "\nAnswer with the option's letter from the given choices directly."
+)
+# affix pairs the fork probes around a letter, in its order (can_infer_option)
+_MMB_AFFIXES = (
+    ("", "."), ("", ","), ("", ":"), ("", ")"), ("", ")."),
+    ("(", ")"), ("(", ")."), (":", ""), (":", ","), (":", "."),
+    (":", ")"), (":", ")."),
+)
+
+
+def _mmb_na(v: Any) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float):
+        import math
+
+        return math.isnan(v)
+    return str(v) == "nan" or v == ""
+
+
+def mmbench_options(doc: dict) -> Dict[str, str]:
+    """Present, non-nan options in letter order (create_options_prompt)."""
+    return {
+        c: doc[c] for c in "ABCDE" if c in doc and not _mmb_na(doc[c])
+    }
+
+
+def mmbench_doc_to_text(doc: dict) -> str:
+    """en_utils.mmbench_doc_to_text:40-64: '[hint ]question options' + the
+    letter post-prompt; the hint joins only when present and != 'nan'."""
+    opts = mmbench_options(doc)
+    options_prompt = MMBENCH_SYS_PROMPT + "\n" + "".join(
+        f"{k}. {v}\n" for k, v in sorted(opts.items())
+    )
+    options_prompt = options_prompt.rstrip("\n")
+    hint = doc.get("hint")
+    body = (
+        f"{hint} {doc['question']} {options_prompt}"
+        if not _mmb_na(hint) else f"{doc['question']} {options_prompt}"
+    )
+    return body + MMBENCH_POST_PROMPT
+
+
+def mmbench_infer_option(answer: str, num_choice: int = 5):
+    """Rule ladder stage 1: a single unambiguous (possibly affixed) letter
+    among the whitespace splits (can_infer_option:91-117, including the
+    'A might be a quantifier' guard on long answers)."""
+    import string as _string
+
+    choices = _string.ascii_uppercase[:num_choice]
+    splits = [x.strip() for x in answer.split()]
+
+    def hits(prefix: str, suffix: str) -> List[str]:
+        return [c for c in choices if prefix + c + suffix in splits]
+
+    bare = hits("", "")
+    if len(bare) == 1:
+        if "A" in splits and len(splits) > 3:
+            pass  # bare 'A' in a long answer is likely the article/quantifier
+        else:
+            return bare[0]
+    for pre, suf in _MMB_AFFIXES:
+        h = hits(pre, suf)
+        if len(h) == 1:
+            return h[0]
+    return False
+
+
+def mmbench_infer_text(answer: str, choices: Dict[str, Any]):
+    """Stage 2: exactly one option's TEXT contained in the answer
+    (can_infer_text:119-131)."""
+    low = answer.lower()
+    cands = [k for k, v in choices.items() if str(v).lower() in low]
+    return cands[0] if len(cands) == 1 else False
+
+
+def mmbench_infer(answer: str, choices: Dict[str, Any]):
+    return mmbench_infer_option(answer) or mmbench_infer_text(answer, choices)
+
+
+def mmbench_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    rec = {
+        "index": int(doc["index"]),
+        "prediction": results[0].strip(),
+        "answer": doc["answer"],
+        "category": doc.get("category", "uncategorized"),
+        "l2_category": doc.get("L2-category", doc.get("l2_category")),
+    }
+    for c in "ABCD":
+        rec[c] = doc.get(c, "nan")
+    return {"mmbench_circular_acc": rec, "mmbench_unresolved_rate": rec}
+
+
+def _mmbench_groups(records: List[dict]) -> Dict[int, List[dict]]:
+    groups: Dict[int, List[dict]] = defaultdict(list)
+    for r in records:
+        groups[int(r["index"]) % 1_000_000].append(r)
+    return groups
+
+
+def _mmbench_hit(rows: List[dict]) -> tuple:
+    """(hit, any_unresolved) for one circular group (eval_sub_data:215-234:
+    every rotation must resolve AND match its rotated ground truth)."""
+    unresolved = False
+    for row in rows:
+        choices = {c: row[c] for c in "ABCD" if not _mmb_na(row.get(c))}
+        letter = mmbench_infer(row["prediction"], choices)
+        if not letter:
+            return 0, True
+        if letter != row["answer"]:
+            return 0, unresolved
+    return 1, unresolved
+
+
+def mmbench_aggregate_circular(records: List[dict]) -> float:
+    groups = _mmbench_groups(records)
+    hits = [_mmbench_hit(rows)[0] for rows in groups.values()]
+    return 100.0 * sum(hits) / max(len(hits), 1)
+
+
+def mmbench_aggregate_unresolved(records: List[dict]) -> float:
+    groups = _mmbench_groups(records)
+    unres = [1 if _mmbench_hit(rows)[1] else 0 for rows in groups.values()]
+    return 100.0 * sum(unres) / max(len(unres), 1)
+
+
+def mmbench_task(docs: Sequence[dict], name: str = "mmbench_en_dev") -> TaskConfig:
+    """docs: rows with index/question/hint/answer/A-D/category/L2-category/
+    image (circular rotations included, index = base + k*1e6)."""
+    return TaskConfig(
+        name=name,
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=mmbench_doc_to_text,
+        process_results=mmbench_process_results,
+        generation_kwargs={"max_new_tokens": 1024, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            "mmbench_circular_acc": mmbench_aggregate_circular,
+            "mmbench_unresolved_rate": mmbench_aggregate_unresolved,
+        },
+    )
