@@ -188,8 +188,12 @@ def _block_forward(
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def _record(**sites):
-        # mean-square per input channel, for AWQ-style int4 calibration
-        # (serve/calibrate.py); only used in unrolled replay, never under scan
+        # mean-square per input channel, for AWQ-style int4 calibration.
+        # CONTRACT: stats_out is only meaningful when _block_forward is called
+        # from an UNROLLED python loop over layers (serve/calibrate.
+        # decoder_act_rms does this); decoder_forward's scanned/remat paths
+        # never pass it — appending traced values from inside a lax.scan body
+        # would leak tracers. If you add a new caller, unroll it.
         if stats_out is not None:
             stats_out.append({
                 k: jnp.mean(jnp.square(v.astype(jnp.float32)), axis=(0, 1))

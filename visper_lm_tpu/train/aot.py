@@ -104,9 +104,10 @@ def lower_flagship_step(
     stage follows the reference freeze policies: 'pretrain' trains only
     projector/heads/tokens under a frozen 8B trunk (pretrain.sh:31); 'finetune'
     trains the FULL model except the vision tower at lr 2e-5 (finetune.sh:15-48
-    — the regime every headline checkpoint ships through); 'vpt' additionally
-    unfreezes the vision tower (vpt.sh). master_weights adds the f32 master
-    copy (DeepSpeed bf16-mode fp32_weights equivalent)."""
+    — the regime every headline checkpoint ships through); 'vpt' compiles the
+    IDENTICAL program (vpt.sh:15 runs the plain IFT trainer with no unfreeze
+    flags, so the tower stays frozen, train.py:1064-1065). master_weights adds
+    the f32 master copy (DeepSpeed bf16-mode fp32_weights equivalent)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -272,8 +273,8 @@ def main(argv=None) -> int:
                         choices=["pretrain", "finetune", "vpt"],
                         help="pretrain = frozen-trunk distillation (PT); "
                         "finetune = FULL-model IFT, no distill heads/teachers "
-                        "(finetune.sh); vpt = distill stage with the vision "
-                        "tower also unfrozen (vpt.sh)")
+                        "(finetune.sh); vpt = identical program to finetune "
+                        "(vpt.sh runs the plain IFT trainer, tower frozen)")
     parser.add_argument("--master-weights", action="store_true",
                         help="f32 master copy of bf16 trainables "
                         "(DeepSpeed bf16-mode fp32_weights equivalent)")
@@ -301,11 +302,12 @@ def main(argv=None) -> int:
     from visper_lm_tpu.config import llama3_clip_vlm, phi3_clip_vlm
     from visper_lm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    # IFT (finetune.sh) trains plain LLaVA: no distill heads, no teachers.
-    # PT and VPT carry the distillation stack (VPT = vpt.sh keeps the heads
-    # from the PT checkpoint and unfreezes the vision tower).
-    distill = args.stage != "finetune"
-    if args.stage == "finetune":
+    # Only the PT stage carries the distillation stack. IFT (finetune.sh) and
+    # VPT (vpt.sh) both run the plain IFT trainer — NTP only, tower frozen,
+    # heads dropped at load (train.py instantiates LlavaLlamaForCausalLM) —
+    # so their compiled step and memory envelope are identical.
+    distill = args.stage == "pretrain"
+    if args.stage != "pretrain":
         args.no_teachers = True
     cfg = (llama3_clip_vlm if args.model == "llama3" else phi3_clip_vlm)(
         distill=distill

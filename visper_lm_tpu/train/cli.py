@@ -135,7 +135,11 @@ def build_vlm_config(args) -> Any:
     proj_in = 3072 if use_convnext else vision.hidden_size
 
     distill = None
-    if args.stage in ("pretrain", "vpt"):
+    # distillation heads/teachers exist ONLY in the PT stage: vpt.sh runs the
+    # plain IFT trainer (train_mem.py) with NTP-only loss on ALLaVA-Caption —
+    # the PT checkpoint's heads are dropped at load (train.py instantiates
+    # LlavaLlamaForCausalLM, not the Ola class)
+    if args.stage == "pretrain":
         distill = C.make_distill_config(
             mode=args.mode,
             layer_indices=args.layer_indices,
@@ -236,7 +240,7 @@ def main() -> None:
     if args.smoke:
         from visper_lm_tpu.config import tiny_test_vlm
 
-        cfg = tiny_test_vlm(distill=args.stage in ("pretrain", "vpt", "probe"))
+        cfg = tiny_test_vlm(distill=args.stage in ("pretrain", "probe"))
     else:
         cfg = build_vlm_config(args)
     if args.tokenizer == "fake-whitespace":

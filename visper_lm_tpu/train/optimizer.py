@@ -58,10 +58,19 @@ _STAGE_TRAINABLE: Dict[str, Tuple[str, ...]] = {
         r"^heads/",
         r"^logit_scales/",
     ),
-    # IFT: everything except the vision tower
+    # IFT: everything except the vision tower (train.py:1064-1065 freezes the
+    # tower unless unfreeze_mm_vision_tower is passed)
     "finetune": (r"^(?!vision_tower/).*",),
-    # VPT: everything (vision tower unfrozen)
-    "vpt": (r".*",),
+    # VPT: the reference's vpt.sh runs the PLAIN IFT trainer with no unfreeze
+    # flags (scripts/train/vpt.sh:15 -> train_mem.py), so its freeze policy is
+    # IDENTICAL to finetune — tower frozen, everything else trains. Kept as a
+    # separate stage name for recipe clarity only.
+    "vpt": (r"^(?!vision_tower/).*",),
+    # reference --unfreeze_mm_vision_tower (train.py:1059-1063): ONLY the
+    # vision tower + projector train, everything else freezes
+    "vision_tower": (r"^vision_tower/", r"^mm_projector/"),
+    # reference --unfreeze_whole_model (train.py:1067-1068)
+    "full": (r".*",),
     # probing: heads only, whole trunk frozen
     "probe": (r"^heads/", r"^probes/", r"^logit_scales/"),
     # LoRA IFT: adapters + projector (reference lora_enable path, train.py:983-999)
@@ -131,10 +140,6 @@ def cosine_schedule(cfg: OptimizerConfig, peak_lr: float) -> optax.Schedule:
         decay_steps=max(cfg.total_steps, warmup + 1),
         end_value=0.0,
     )
-
-
-class MasterWeightState(jax.tree_util.register_static(type("_S", (), {})) if False else tuple):
-    pass
 
 
 def with_master_weights() -> optax.GradientTransformation:
