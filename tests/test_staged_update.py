@@ -1,0 +1,159 @@
+"""Blockwise staged optimizer update == optax (train/staged_update.py).
+
+The blockwise path re-implements make_optimizer's update math (multi_transform
+over chain(clip_by_global_norm, adamw(cosine), [master])) so offloaded moments
+can stream through HBM; these tests pin its semantics to tx.update +
+optax.apply_updates leaf-for-leaf, including the per-label clip norms,
+schedule counts, decay mask, and the chunked (split-stacked-leaf) path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from visper_lm_tpu.train.optimizer import OptimizerConfig, make_optimizer, trainable_mask
+from visper_lm_tpu.train.staged_update import (
+    blockwise_staged_update,
+    init_opt_state_offloaded,
+)
+from visper_lm_tpu.utils.param import partition_params
+
+
+def _params(dtype):
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dtype)
+
+    return {
+        "decoder": {
+            # stacked (L, in, out) like the real decoder blocks
+            "blocks": {"q_proj": {"kernel": arr(4, 8, 8)},
+                       "norm": {"scale": arr(4, 8)}},
+            "w": arr(8, 8),
+            "norm": {"scale": arr(8)},
+        },
+        "mm_projector": {"w": arr(8, 8), "bias": arr(8)},
+        "vision_tower": {"w": arr(8, 8)},
+    }
+
+
+def _grads(params, seed=1):
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape).astype(np.float32)).astype(
+            p.dtype
+        ),
+        params,
+    )
+
+
+def _trainable(params, cfg):
+    mask = trainable_mask(params, cfg.stage)
+    trainable, _ = partition_params(params, mask)
+    return trainable
+
+
+def _run_both(cfg, dtype, steps=3, block_bytes=256 << 20):
+    full = _params(dtype)
+    trainable = _trainable(full, cfg)
+    tx = make_optimizer(trainable, cfg)
+
+    p_ref = trainable
+    p_blk = trainable
+    st_ref = tx.init(trainable)
+    st_blk = tx.init(trainable)
+    for i in range(steps):
+        g = _grads(trainable, seed=10 + i)
+        updates, st_ref = tx.update(g, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        p_blk, st_blk = blockwise_staged_update(
+            g, st_blk, p_blk, cfg, block_bytes=block_bytes
+        )
+    return (p_ref, st_ref), (p_blk, st_blk)
+
+
+def _assert_tree_close(a, b, rtol, atol):
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert la.dtype == lb.dtype, (la.dtype, lb.dtype)
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=rtol, atol=atol,
+        )
+
+
+@pytest.mark.parametrize("stage", ["finetune", "pretrain"])
+def test_blockwise_matches_optax_f32(stage):
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, stage=stage, weight_decay=0.01, total_steps=50
+    )
+    (p_ref, st_ref), (p_blk, st_blk) = _run_both(cfg, jnp.float32)
+    _assert_tree_close(p_ref, p_blk, rtol=2e-5, atol=1e-7)
+    _assert_tree_close(st_ref, st_blk, rtol=2e-5, atol=1e-7)
+
+
+def test_blockwise_matches_optax_groups_and_master_bf16():
+    # per-group LRs + f32 master weights over bf16 params: the master copies
+    # must track optax's f32 trajectory (bf16 params may differ by 1 ulp from
+    # optax's p+(m-p) rounding; the master comparison is the strict one)
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, mm_projector_lr=2e-4, stage="finetune",
+        master_weights=True, total_steps=50,
+    )
+    (p_ref, st_ref), (p_blk, st_blk) = _run_both(cfg, jnp.bfloat16)
+    _assert_tree_close(p_ref, p_blk, rtol=1e-2, atol=1e-2)
+    _assert_tree_close(st_ref, st_blk, rtol=1e-2, atol=1e-3)
+
+
+def test_blockwise_chunked_leaves_match_unchunked():
+    # tiny block budget forces the stacked (L, in, out) leaf to split along
+    # axis 0; results must be identical to the single-block path
+    cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune", total_steps=50)
+    (_, _), (p_one, st_one) = _run_both(cfg, jnp.float32)
+    (_, _), (p_chk, st_chk) = _run_both(cfg, jnp.float32, block_bytes=64)
+    _assert_tree_close(p_one, p_chk, rtol=1e-6, atol=0)
+    _assert_tree_close(st_one, st_chk, rtol=1e-6, atol=0)
+
+
+def test_blockwise_under_jit_with_donation():
+    cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune", total_steps=50)
+    full = _params(jnp.float32)
+    trainable = _trainable(full, cfg)
+    tx = make_optimizer(trainable, cfg)
+    st = tx.init(trainable)
+    g = _grads(trainable)
+
+    fn = jax.jit(
+        lambda gr, s, p: blockwise_staged_update(gr, s, p, cfg),
+        donate_argnums=(1, 2),
+    )
+    p2, st2 = fn(g, st, trainable)
+
+    updates, st_ref = tx.update(g, tx.init(_trainable(_params(jnp.float32), cfg)),
+                                _trainable(_params(jnp.float32), cfg))
+    p_ref = optax.apply_updates(_trainable(_params(jnp.float32), cfg), updates)
+    _assert_tree_close(p_ref, p2, rtol=2e-5, atol=1e-7)
+
+
+def test_init_opt_state_offloaded_matches_tx_init():
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, stage="finetune", master_weights=True, total_steps=50
+    )
+    full = _params(jnp.bfloat16)
+    trainable = _trainable(full, cfg)
+    tx = make_optimizer(trainable, cfg)
+    ref = tx.init(trainable)
+
+    # CPU shardings (no pinned_host): placement is a no-op, structure + values
+    # must match tx.init exactly (zeros + f32 master copies of params)
+    dev = jax.devices("cpu")[0]
+    from jax.sharding import SingleDeviceSharding
+
+    sh = jax.tree_util.tree_map(
+        lambda _: SingleDeviceSharding(dev), jax.eval_shape(tx.init, trainable)
+    )
+    out = init_opt_state_offloaded(tx, trainable, sh)
+    _assert_tree_close(ref, out, rtol=0, atol=0)

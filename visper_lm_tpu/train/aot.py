@@ -97,6 +97,7 @@ def lower_flagship_step(
     stage: str = "pretrain",
     master_weights: bool = False,
     remat_policy: Optional[str] = None,
+    blockwise_staging: bool = True,
 ):
     """Lower the full train step with abstract (never materialized) arguments.
     Returns the jax Lowered object.
@@ -173,8 +174,13 @@ def lower_flagship_step(
         use_pallas=use_pallas,
     )
     # the EXACT step body training runs (loss merge, pinned-host moment
-    # staging, tx.update) — shared so the compiled fit can't drift from it
-    step_fn = make_step_fn(tx, base_loss_fn, opt_sh)
+    # staging, optimizer update) — shared so the compiled fit can't drift
+    # from it. blockwise_staging=False reproduces the whole-tree-staging
+    # tx.update path for A/B memory comparison (docs/Scale8B.md).
+    step_fn = make_step_fn(
+        tx, base_loss_fn, opt_sh, opt_cfg=opt_cfg,
+        blockwise_staging=blockwise_staging,
+    )
 
     def attach(shapes, shardings):
         return jax.tree_util.tree_map(
@@ -285,6 +291,10 @@ def main(argv=None) -> int:
     parser.add_argument("--no-teachers", action="store_true")
     parser.add_argument("--no-zero3", action="store_true")
     parser.add_argument("--offload-opt", action="store_true")
+    parser.add_argument("--whole-tree-staging", action="store_true",
+                        help="stage the WHOLE offloaded moment tree around "
+                        "tx.update (the pre-round-4 path) instead of the "
+                        "blockwise streamed update — for A/B memory rows")
     parser.add_argument("--mu-dtype", default=None)
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--shard-teachers", action="store_true",
@@ -337,6 +347,7 @@ def main(argv=None) -> int:
         master_weights=args.master_weights,
         learning_rate=args.lr or (1e-3 if args.stage == "pretrain" else 2e-5),
         remat_policy=args.remat_policy,
+        blockwise_staging=not args.whole_tree_staging,
     )
     t_lower = time.time() - t0
     print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)

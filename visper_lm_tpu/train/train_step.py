@@ -223,7 +223,12 @@ def plan_train_shardings(
     )
 
 
-def make_step_fn(tx, base_loss_fn, opt_shardings, accum_steps: int = 1):
+def make_step_fn(
+    tx, base_loss_fn, opt_shardings, accum_steps: int = 1,
+    opt_cfg: Optional[OptimizerConfig] = None,
+    blockwise_staging: bool = True,
+    block_bytes: int = 256 << 20,
+):
     """The pure train-step body: grads -> (pinned-host moment staging) ->
     tx.update -> new TrainState. Shared by make_train_step (live training) and
     train/aot.lower_flagship_step (the 8B fit proof) so the compiled memory
@@ -278,16 +283,33 @@ def make_step_fn(tx, base_loss_fn, opt_shardings, accum_steps: int = 1):
         )
         return metrics, grads
 
+    # offloaded moments: stream blockwise (stage one block host->HBM->host at
+    # a time, sequenced with optimization barriers) instead of staging the
+    # whole tree — cuts peak HBM from O(moment tree) to O(one block).
+    # docs/Scale8B.md quantifies both paths; blockwise is the default.
+    use_blockwise = (
+        opt_to_device is not None and opt_cfg is not None and blockwise_staging
+    )
+
     def step_fn(state: TrainState, frozen_params, tp, batch):
         if accum_steps > 1:
             metrics, grads = accum_grads(state.params, frozen_params, tp, batch)
         else:
             (_, metrics), grads = grad_fn(state.params, frozen_params, tp, batch)
-        opt_state = state.opt_state
-        if opt_to_device is not None:
-            opt_state = jax.device_put(opt_state, opt_to_device)
-        updates, new_opt = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if use_blockwise:
+            from visper_lm_tpu.train.staged_update import blockwise_staged_update
+
+            new_params, new_opt = blockwise_staged_update(
+                grads, state.opt_state, state.params, opt_cfg,
+                opt_shardings=opt_shardings, opt_to_device=opt_to_device,
+                block_bytes=block_bytes,
+            )
+        else:
+            opt_state = state.opt_state
+            if opt_to_device is not None:
+                opt_state = jax.device_put(opt_state, opt_to_device)
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(
             params=new_params, opt_state=new_opt, step=state.step + 1
@@ -313,6 +335,7 @@ def make_train_step(
     offload_opt_state: bool = False,
     shard_teachers: bool = False,
     accum_steps: int = 1,
+    blockwise_staging: bool = True,
 ) -> Tuple[Callable, TrainState, Any]:
     """Build (jitted_step, initial sharded TrainState, state shardings).
 
@@ -359,7 +382,18 @@ def make_train_step(
                 teacher_params,
             ),
         )
-    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
+    offloaded = any(
+        getattr(ns, "memory_kind", None) == "pinned_host"
+        for ns in jax.tree_util.tree_leaves(opt_shardings)
+    )
+    if offloaded:
+        # jit(tx.init) would allocate the full f32 moment tree in HBM before
+        # copying it out; build zeros on host and place them leaf-by-leaf.
+        from visper_lm_tpu.train.staged_update import init_opt_state_offloaded
+
+        opt_state = init_opt_state_offloaded(tx, trainable, opt_shardings)
+    else:
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
     state = TrainState(
         params=trainable,
         opt_state=opt_state,
@@ -368,7 +402,10 @@ def make_train_step(
 
     # teacher params are explicit jit args (NOT closures): closed-over arrays can be
     # inlined into the serialized HLO, which explodes compile payloads/times.
-    step_fn = make_step_fn(tx, base_loss_fn, opt_shardings, accum_steps=accum_steps)
+    step_fn = make_step_fn(
+        tx, base_loss_fn, opt_shardings, accum_steps=accum_steps,
+        opt_cfg=opt_cfg, blockwise_staging=blockwise_staging,
+    )
 
     jitted = jax.jit(
         step_fn,
