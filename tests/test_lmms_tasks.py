@@ -704,3 +704,60 @@ def test_mmbench_task_end_to_end():
     assert "There are several options:" in prompt
     assert prompt.endswith("letter from the given choices directly.")
     assert "nan" not in prompt  # hint was nan -> omitted
+
+
+@pytest.mark.skipif(lmms_eval is None, reason="reference lmms-eval not importable")
+def test_multidocvqa_parity():
+    """MP-DocVQA uses its own Evaluator (tasks/multidocvqa/utils.py), whose
+    ANLS differs from api/metrics.anls (distance over preprocessed strings,
+    'none' -> 0); pin both metrics against it."""
+    ref = load_task_utils("multidocvqa")
+    ev = ref.Evaluator(case_sensitive=False)
+    cases = [
+        (["The Answer"], "the answer"),
+        (["answer", "reply"], "replyy"),
+        (["long ground truth"], "short"),
+        (["x"], "none"),
+        (["abc"], ""),
+        (["Mixed Case  "], "  mixed case"),
+        (["95.6%"], "95.6"),
+    ]
+    for gts, pred in cases:
+        theirs = ev.get_metrics([gts], [pred])
+        assert lt.multidocvqa_anls(gts, pred) == pytest.approx(
+            theirs["anls"][0]
+        ), (gts, pred)
+        assert lt.multidocvqa_accuracy(gts, pred) == pytest.approx(
+            theirs["accuracy"][0]
+        ), (gts, pred)
+
+    # process_results handles the HF stringified answers column
+    doc = {"answers": "['a', 'b']", "questionId": 3}
+    out = lt.multidocvqa_process_results(doc, ["b"])
+    assert out["accuracy"] == 1.0 and out["anls"] == 1.0
+
+
+def test_stvqa_submission_task(tmp_path):
+    path = str(tmp_path / "sub.json")
+    docs = [
+        {"question_id": 1, "question": "what?", "image": None},
+        {"question_id": 2, "question": "which?", "image": None},
+    ]
+
+    class LM:
+        task_dict = {}
+
+        def generate_until(self, instances):
+            return ["red", "blue"]
+
+    task = lt.stvqa_task(docs, submission_path=path)
+    out = evaluate(LM(), [task])["stvqa"]
+    assert out["submission"] == 2.0
+    import json
+
+    rows = json.load(open(path))
+    assert rows == [{"question_id": 1, "answer": "red"},
+                    {"question_id": 2, "answer": "blue"}]
+    # prompt parity: the fork's default post_prompt
+    assert task.doc_to_text(docs[0]).endswith(
+        "Answer the question using a single word or phrase.")

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import statistics
 from collections import defaultdict
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 from visper_lm_tpu.eval.harness import (
     TaskConfig,
@@ -727,6 +727,8 @@ def task_builders() -> Dict[str, Any]:
         "vizwiz_vqa_val": vizwiz_task,
         "mmmu_val": _mmmu_task,
         "mmbench_en_dev": mmbench_task,
+        "multidocvqa_val": multidocvqa_task,
+        "stvqa": stvqa_task,
     }
 
 
@@ -891,4 +893,98 @@ def mmbench_task(docs: Sequence[dict], name: str = "mmbench_en_dev") -> TaskConf
             "mmbench_circular_acc": mmbench_aggregate_circular,
             "mmbench_unresolved_rate": mmbench_aggregate_unresolved,
         },
+    )
+
+
+# ------------------------------------------------------- MP-DocVQA (val)
+
+
+def _mpdocvqa_prep(s: str) -> str:
+    """tasks/multidocvqa/utils.py Evaluator._preprocess_str (case-fold+strip)."""
+    return s.lower().strip()
+
+
+def multidocvqa_anls(gt: Sequence[str], pred: str, threshold: float = 0.5) -> float:
+    """tasks/multidocvqa/utils.py Evaluator._calculate_anls: distance over the
+    PREPROCESSED strings (unlike api/metrics.py anls, which normalizes by raw
+    lengths), empty or literal 'none' predictions score 0."""
+    pred = _mpdocvqa_prep(pred)
+    if not pred or pred == "none":
+        return 0.0
+    gt = [_mpdocvqa_prep(g) for g in gt]
+    sims = [1 - levenshtein(g, pred) / max(len(g), len(pred)) for g in gt]
+    best = max(sims)
+    return best if best >= threshold else 0.0
+
+
+def multidocvqa_accuracy(gt: Sequence[str], pred: str) -> float:
+    """Evaluator._calculate_accuracy: exact match after preprocessing,
+    'none' predictions never count."""
+    pred = _mpdocvqa_prep(pred)
+    if pred == "none":
+        return 0.0
+    return float(any(_mpdocvqa_prep(g) == pred for g in gt))
+
+
+def multidocvqa_process_results(doc: dict, results: List[str]) -> Dict[str, float]:
+    import ast
+
+    answers = doc["answers"]
+    if isinstance(answers, str):  # HF split stores a stringified list
+        answers = ast.literal_eval(answers)
+    return {
+        "anls": multidocvqa_anls(answers, results[0]),
+        "accuracy": multidocvqa_accuracy(answers, results[0]),
+    }
+
+
+def multidocvqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """docs: [{question, answers, image_1..image_20 (None-padded), questionId}]
+    (tasks/multidocvqa/multidocvqa_val.yaml)."""
+    return TaskConfig(
+        name="multidocvqa_val",
+        docs=docs,
+        doc_to_visual=lambda d: [
+            d[f"image_{i}"] for i in range(1, 21) if d.get(f"image_{i}") is not None
+        ],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=multidocvqa_process_results,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        split="val",
+    )
+
+
+# ------------------------------------------------- ST-VQA (submission-only)
+
+
+def stvqa_task(docs: Sequence[dict], submission_path: Optional[str] = None) -> TaskConfig:
+    """ST-VQA has NO local scoring — the fork emits a submission file for the
+    official server (tasks/stvqa/utils.py stvqa_aggregate_submissions). The
+    aggregation writes {question_id, answer} rows to `submission_path` (or a
+    cwd default) and reports the row count."""
+    rows: List[dict] = []
+
+    def process(doc: dict, results: List[str]) -> Dict[str, Any]:
+        rows.append({"question_id": int(doc["question_id"]),
+                     "answer": results[0]})
+        return {"submission": 1.0}
+
+    def aggregate(vals: List[float]) -> float:
+        import json as _json
+
+        path = submission_path or "stvqa_test_for_submission.json"
+        with open(path, "w") as f:
+            _json.dump(rows, f)
+        return float(len(rows))
+
+    return TaskConfig(
+        name="stvqa",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: d["question"] + SINGLE_WORD_POST_PROMPT,
+        process_results=process,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={"submission": aggregate},
     )
