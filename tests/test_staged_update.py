@@ -56,7 +56,7 @@ def _trainable(params, cfg):
     return trainable
 
 
-def _run_both(cfg, dtype, steps=3, block_bytes=256 << 20):
+def _run_both(cfg, dtype, steps=3, chunk=False):
     full = _params(dtype)
     trainable = _trainable(full, cfg)
     tx = make_optimizer(trainable, cfg)
@@ -65,13 +65,32 @@ def _run_both(cfg, dtype, steps=3, block_bytes=256 << 20):
     p_blk = trainable
     st_ref = tx.init(trainable)
     st_blk = tx.init(trainable)
+    if chunk:
+        from visper_lm_tpu.train.staged_update import (
+            chunk_state_like,
+            plan_offload_layout,
+        )
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
+                    ("data", "model"))
+        opt_shape = jax.eval_shape(tx.init, trainable)
+        ns = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), opt_shape
+        )
+        chunked_shape, _ = plan_offload_layout(
+            opt_shape, ns, mesh, block_bytes=256, min_bytes=0
+        )
+        st_blk = chunk_state_like(st_blk, chunked_shape)
     for i in range(steps):
         g = _grads(trainable, seed=10 + i)
         updates, st_ref = tx.update(g, st_ref, p_ref)
         p_ref = optax.apply_updates(p_ref, updates)
-        p_blk, st_blk = blockwise_staged_update(
-            g, st_blk, p_blk, cfg, block_bytes=block_bytes
-        )
+        p_blk, st_blk = blockwise_staged_update(g, st_blk, p_blk, cfg)
+    if chunk:
+        from visper_lm_tpu.train.staged_update import unchunk_state
+
+        st_blk = unchunk_state(st_blk)
     return (p_ref, st_ref), (p_blk, st_blk)
 
 
@@ -109,13 +128,14 @@ def test_blockwise_matches_optax_groups_and_master_bf16():
 
 
 def test_blockwise_chunked_leaves_match_unchunked():
-    # tiny block budget forces the stacked (L, in, out) leaf to split along
-    # axis 0; results must be identical to the single-block path
-    cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune", total_steps=50)
-    (_, _), (p_one, st_one) = _run_both(cfg, jnp.float32)
-    (_, _), (p_chk, st_chk) = _run_both(cfg, jnp.float32, block_bytes=64)
-    _assert_tree_close(p_one, p_chk, rtol=1e-6, atol=0)
-    _assert_tree_close(st_one, st_chk, rtol=1e-6, atol=0)
+    # a tiny block budget forces stacked (L, in, out) leaves into
+    # ChunkedHostArray layout; after unchunking, results must match both the
+    # whole-leaf blockwise path and optax itself
+    cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune",
+                          master_weights=True, total_steps=50)
+    (p_ref, st_ref), (p_chk, st_chk) = _run_both(cfg, jnp.float32, chunk=True)
+    _assert_tree_close(p_ref, p_chk, rtol=2e-5, atol=1e-7)
+    _assert_tree_close(st_ref, st_chk, rtol=2e-5, atol=1e-7)
 
 
 def test_blockwise_under_jit_with_donation():
@@ -152,8 +172,54 @@ def test_init_opt_state_offloaded_matches_tx_init():
     dev = jax.devices("cpu")[0]
     from jax.sharding import SingleDeviceSharding
 
-    sh = jax.tree_util.tree_map(
-        lambda _: SingleDeviceSharding(dev), jax.eval_shape(tx.init, trainable)
-    )
-    out = init_opt_state_offloaded(tx, trainable, sh)
+    shape = jax.eval_shape(tx.init, trainable)
+    sh = jax.tree_util.tree_map(lambda _: SingleDeviceSharding(dev), shape)
+    out = init_opt_state_offloaded(tx, trainable, shape, sh)
     _assert_tree_close(ref, out, rtol=0, atol=0)
+
+
+def test_init_offloaded_chunked_layout():
+    """Chunked init: zeros per chunk, master chunks = param slices cast to
+    f32, and unchunk_state round-trips to tx.init exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from visper_lm_tpu.train.staged_update import (
+        ChunkedHostArray,
+        plan_offload_layout,
+        unchunk_state,
+    )
+
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, stage="finetune", master_weights=True, total_steps=50
+    )
+    full = _params(jnp.bfloat16)
+    trainable = _trainable(full, cfg)
+    tx = make_optimizer(trainable, cfg)
+    shape = jax.eval_shape(tx.init, trainable)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
+                ("data", "model"))
+    ns = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), shape)
+    cshape, cns = plan_offload_layout(shape, ns, mesh, block_bytes=256, min_bytes=0)
+    # chunk boundaries must be dtype-independent: a param's f32 mu and bf16 nu
+    # update against the same p/g slices (regression: 8B AOT broadcast error)
+    adam = cshape.inner_states["base"].inner_state[1][0]
+    from visper_lm_tpu.train.staged_update import _flat_with_keys
+
+    mu_f, nu_f = _flat_with_keys(adam.mu), _flat_with_keys(adam.nu)
+    for k, v in mu_f.items():
+        if isinstance(v, ChunkedHostArray):
+            assert isinstance(nu_f[k], ChunkedHostArray)
+            assert [c.shape for c in v.chunks] == [
+                c.shape for c in nu_f[k].chunks
+            ], k
+    # pinned_host placement doesn't exist on CPU: strip memory kinds but keep
+    # the chunked structure
+    cns = jax.tree_util.tree_map(lambda n: NamedSharding(mesh, P()), cns)
+    out = init_opt_state_offloaded(tx, trainable, cshape, cns)
+    assert any(
+        isinstance(x, ChunkedHostArray)
+        for x in jax.tree_util.tree_leaves(
+            out, is_leaf=lambda x: isinstance(x, ChunkedHostArray)
+        )
+    )
+    _assert_tree_close(tx.init(trainable), unchunk_state(out), rtol=0, atol=0)

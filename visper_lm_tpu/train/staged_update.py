@@ -3,39 +3,40 @@
 `tx.update` over a whole offloaded optimizer state forces XLA to stage the
 ENTIRE moment tree into HBM before the first update op runs (measured:
 9.5 GiB of per-chip temps for 7.6 GiB of moments in the 8B IFT AOT fit,
-docs/Scale8B.md) — the copy-starts all get scheduled up front. This module
-re-implements the exact update semantics of train.optimizer.make_optimizer
-(optax.multi_transform over per-LR-group chains of
-clip_by_global_norm -> adamw(cosine schedule) -> [master weights]) as an
-explicitly SEQUENCED stream of per-block updates:
+docs/Scale8B.md). This module makes the update a SEQUENCED stream:
 
-    for each block of moment leaves (large stacked leaves split along axis 0):
-        stage mu/nu/[master] block host->HBM      (jax.device_put in-jit)
-        compute the AdamW update for the block
-        stage the new moments back HBM->host
-        thread a token through lax.optimization_barrier so the next block's
-        stage-in cannot be hoisted above this block's completion
-
-Peak HBM held by optimizer state drops from the whole tree to one block
-(default <= 256 MiB), which is what makes (a) the v5e-8 IFT fit comfortable
-and (b) a single-chip full-model (finetune-stage) step feasible at all.
+  * Offloaded moment leaves bigger than `block_bytes` are stored PRE-CHUNKED
+    along their leading (layer) axis as `ChunkedHostArray` pytrees — each
+    chunk is an ordinary pinned-host array, so staging one chunk is a plain
+    in-jit `jax.device_put` (the natively supported host<->HBM copy; slicing
+    a host buffer in-graph is NOT well supported and materializes the whole
+    leaf in HBM via HostExecute temps — measured, see git history).
+  * The update math re-implements train.optimizer.make_optimizer exactly
+    (optax.multi_transform over per-LR-group chains of clip_by_global_norm ->
+    adamw(cosine schedule) -> [f32 master weights]); parity is pinned by
+    tests/test_staged_update.py.
+  * `lax.optimization_barrier` threads a token between blocks so block k+1's
+    stage-in cannot be hoisted above block k's completion: peak HBM held by
+    optimizer state drops from the whole tree to ~2 blocks.
+  * Only leaves whose sharding covers every >1-sized mesh axis offload —
+    XLA cannot partition side-effecting memory-space annotations with
+    (partially) replicated shardings. Small/replicated moments (norm scales,
+    schedule counts) stay in HBM; they are KiB-scale.
 
 The reference gets the equivalent behavior from DeepSpeed's zero-offload
 CPUAdam (scripts/zero3_offload.json); here the update math stays on the TPU
 and only the state streams.
-
-Semantics parity with optax is covered by tests/test_staged_update.py:
-identical trees out (params, counts, mu, nu, master) vs tx.update +
-optax.apply_updates for every stage/LR-group/master-weights combination.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from visper_lm_tpu.train.optimizer import (
@@ -52,48 +53,188 @@ _PEAK_LR = {
 }
 
 
-def _is_masked(x) -> bool:
-    return isinstance(x, optax.MaskedNode)
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ChunkedHostArray:
+    """A logically-whole array stored as chunks along axis 0 (each chunk an
+    independent pinned-host array, so it stages to HBM as one plain copy).
+    Also used, with NamedSharding/ShapeDtypeStruct chunks, as the matching
+    node in sharding/shape trees."""
+
+    chunks: Tuple[Any, ...]
+
+    def tree_flatten(self):
+        return tuple(self.chunks), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(chunks=tuple(children))
+
+    @property
+    def row_ranges(self) -> List[Tuple[int, int]]:
+        out, s = [], 0
+        for c in self.chunks:
+            n = c.shape[0]
+            out.append((s, s + n))
+            s += n
+        return out
+
+
+def _is_chunked(x) -> bool:
+    return isinstance(x, ChunkedHostArray)
 
 
 def _flat_with_keys(tree) -> Dict[str, Any]:
-    """Flatten to {keystr: leaf}; MaskedNode nodes have no leaves so only the
-    label's real entries appear. Key strings match across trees with the same
-    structure (params / grads / mu / nu / master / shardings)."""
+    """Flatten to {keystr: leaf}, treating ChunkedHostArray as a leaf so keys
+    line up across params / grads / moments / shardings trees."""
     out = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=_is_chunked
+    )[0]:
         out[jax.tree_util.keystr(path)] = leaf
     return out
 
 
-def _host_slice(x, start: int, size: int):
-    """Slice a (possibly host-memory-space) array along axis 0 as host compute
-    so only the slice crosses to HBM, not the whole leaf."""
-    try:
-        from jax.experimental import compute_on
-
-        with compute_on.compute_on("device_host"):
-            return jax.lax.slice_in_dim(x, start, start + size, axis=0)
-    except Exception:
-        return jax.lax.slice_in_dim(x, start, start + size, axis=0)
+def _rebuild_tree(template, key_to_leaf: Dict[str, Any]):
+    flat = jax.tree_util.tree_flatten_with_path(template, is_leaf=_is_chunked)[0]
+    leaves = [key_to_leaf[jax.tree_util.keystr(p)] for p, _ in flat]
+    structure = jax.tree_util.tree_structure(template, is_leaf=_is_chunked)
+    return jax.tree_util.tree_unflatten(structure, leaves)
 
 
-def _host_concat(parts):
-    try:
-        from jax.experimental import compute_on
-
-        with compute_on.compute_on("device_host"):
-            return jnp.concatenate(parts, axis=0)
-    except Exception:
-        return jnp.concatenate(parts, axis=0)
+def _nbytes(s) -> int:
+    return int(np.prod(s.shape)) * np.dtype(s.dtype).itemsize if s.shape else np.dtype(s.dtype).itemsize
 
 
-def _nbytes(*arrs) -> int:
-    return sum(a.size * a.dtype.itemsize for a in arrs if a is not None)
+def _covers_mesh(ns, mesh) -> bool:
+    """True if the sharding shards over every mesh axis of size > 1 (fully
+    sharded — no replication). Side-effecting memory-space annotations cannot
+    be SPMD-partitioned when (partially) replicated."""
+    axis_sizes = dict(zip(mesh.axis_names, np.shape(mesh.devices)))
+    needed = {a for a, s in axis_sizes.items() if s > 1}
+    spec = getattr(ns, "spec", None) or ()
+    used = set()
+    for entry in spec:
+        for ax in entry if isinstance(entry, tuple) else (entry,):
+            if ax is not None:
+                used.add(ax)
+    return needed <= used
+
+
+def _axis0_unsharded(ns, mesh) -> bool:
+    axis_sizes = dict(zip(mesh.axis_names, np.shape(mesh.devices)))
+    spec = getattr(ns, "spec", None) or ()
+    if not spec:
+        return True
+    entry = spec[0]
+    for ax in entry if isinstance(entry, tuple) else (entry,):
+        if ax is not None and axis_sizes.get(ax, 1) > 1:
+            return False
+    return True
+
+
+def plan_offload_layout(
+    opt_shape, opt_shardings, mesh, *,
+    block_bytes: int = 256 << 20, min_bytes: int = 1 << 20,
+):
+    """Transform (shape tree, sharding tree) for pinned-host offload:
+    offloadable leaves get pinned_host memory kind; leaves larger than
+    block_bytes with a free leading axis become ChunkedHostArray nodes of
+    per-chunk shapes/shardings. Returns (opt_shape, opt_shardings)."""
+
+    def leaf(s, ns):
+        if s is None or isinstance(s, optax.MaskedNode):
+            return s, ns
+        # schedule counts and other small leaves stay in HBM: offloading a
+        # scalar would put the count arithmetic in host space (mixed-space
+        # math error) for no memory win
+        if _nbytes(s) < min_bytes or not _covers_mesh(ns, mesh):
+            return s, ns  # stays in HBM (tiny/replicated)
+        host_ns = ns.with_memory_kind("pinned_host")
+        # chunk boundaries must be IDENTICAL across a param's mu/nu/master
+        # leaves (their blocks are updated together against the same p/g
+        # slices), so the decision uses shape only — f32-equivalent bytes —
+        # never the leaf dtype (nu is often bf16 while mu is f32)
+        nbytes = int(np.prod(s.shape)) * 4 if s.shape else 4
+        n_rows = s.shape[0] if len(s.shape) > 1 else 1
+        if nbytes <= block_bytes or n_rows <= 1 or not _axis0_unsharded(ns, mesh):
+            return jax.ShapeDtypeStruct(s.shape, s.dtype), host_ns
+        n_chunks = min(n_rows, math.ceil(nbytes / block_bytes))
+        rows = [
+            (i * n_rows // n_chunks, (i + 1) * n_rows // n_chunks)
+            for i in range(n_chunks)
+        ]
+        shapes = ChunkedHostArray(tuple(
+            jax.ShapeDtypeStruct((e - b,) + tuple(s.shape[1:]), s.dtype)
+            for b, e in rows
+        ))
+        shardings = ChunkedHostArray(tuple(host_ns for _ in rows))
+        return shapes, shardings
+
+    flat_s = jax.tree_util.tree_flatten_with_path(opt_shape)[0]
+    flat_n = _flat_with_keys(opt_shardings)
+    new_s: Dict[str, Any] = {}
+    new_n: Dict[str, Any] = {}
+    for path, s in flat_s:
+        k = jax.tree_util.keystr(path)
+        ns = flat_n[k]
+        new_s[k], new_n[k] = leaf(s, ns)
+    return _rebuild_tree(opt_shape, new_s), _rebuild_tree(opt_shardings, new_n)
+
+
+def init_opt_state_offloaded(tx, trainable, opt_shape, opt_shardings):
+    """Materialize the (possibly chunked) offloaded optimizer state without
+    ever holding the full moment tree in HBM: zeros are built on host per
+    chunk and device_put straight into their pinned-host shardings; master
+    chunks are per-chunk f32 casts of the param slices. A plain
+    `jit(tx.init, out_shardings=...)` would allocate the full f32 tree on
+    device first — 28+ GiB for a 3.8B full-trainable model on one chip."""
+    p_flat = _flat_with_keys(trainable)
+
+    def param_for(key: str):
+        pk = max((k for k in p_flat if key.endswith(k)), key=len, default=None)
+        return p_flat.get(pk) if pk is not None else None
+
+    def build_one(key, s, ns):
+        if "master" in key:
+            src = param_for(key)
+            if src is not None:
+                return jax.jit(
+                    lambda x: x.astype(s.dtype), out_shardings=ns
+                )(src)
+        return jax.device_put(np.zeros(s.shape, s.dtype), ns)
+
+    def build(path_key, s, ns):
+        if isinstance(s, ChunkedHostArray):
+            chunks = []
+            if "master" in path_key:
+                src = param_for(path_key)
+                start = 0
+                for cs, cns in zip(s.chunks, ns.chunks):
+                    n = cs.shape[0]
+                    cast = jax.jit(
+                        lambda x, a=start, b=start + n, dt=cs.dtype: jax.lax.slice_in_dim(
+                            x, a, b, axis=0
+                        ).astype(dt),
+                        out_shardings=cns,
+                    )
+                    chunks.append(cast(src))
+                    start += n
+            else:
+                for cs, cns in zip(s.chunks, ns.chunks):
+                    chunks.append(jax.device_put(np.zeros(cs.shape, cs.dtype), cns))
+            return ChunkedHostArray(tuple(chunks))
+        if s is None or isinstance(s, optax.MaskedNode):
+            return s
+        return build_one(path_key, s, ns)
+
+    sh_flat = _flat_with_keys(opt_shape)
+    ns_flat = _flat_with_keys(opt_shardings)
+    out = {k: build(k, s, ns_flat[k]) for k, s in sh_flat.items()}
+    return _rebuild_tree(opt_shape, out)
 
 
 def _barrier(token, arrs: List[Any]) -> Tuple[Any, List[Any]]:
-    """Tie `arrs` to `token` (and produce a new token tied to them)."""
     if not arrs:
         return token, arrs
     out = jax.lax.optimization_barrier(tuple([token] + list(arrs)))
@@ -104,7 +245,7 @@ def _leaf_update(
     p, g, mu, nu, master, cfg: OptimizerConfig, *,
     clip_scale, lr, c_inc, decay: bool,
 ):
-    """One leaf's chain(clip -> scale_by_adam -> add_decayed_weights ->
+    """One block's chain(clip -> scale_by_adam -> add_decayed_weights ->
     scale(-lr) -> [master]) update, computed in f32. Returns
     (new_p, new_mu, new_nu, new_master)."""
     f32 = jnp.float32
@@ -128,12 +269,9 @@ def _leaf_update(
 
 
 def _label_state(mstate):
-    """Unpack one label's MaskedState(chain state). Returns
-    (adam: ScaleByAdamState, sched: ScaleByScheduleState, master: dict|None)
+    """Unpack one label's MaskedState(chain state) -> (adam, sched, master)
     or None for stateless labels (set_to_zero / empty)."""
     inner = mstate.inner_state
-    # stateless labels ('frozen' set_to_zero): EmptyState, which is itself a
-    # (0-field) namedtuple — require the real chain tuple shape
     if isinstance(inner, optax.EmptyState) or not isinstance(inner, tuple) or len(inner) < 2:
         return None
     adam_chain = inner[1]
@@ -151,13 +289,20 @@ def _rebuild_label(mstate, new_adam, new_sched, new_master):
     return optax.MaskedState(inner_state=parts)
 
 
-def _rebuild_tree(template, key_to_leaf: Dict[str, Any]):
-    """Unflatten `template`'s structure with leaves looked up by key string."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    leaves = [key_to_leaf[jax.tree_util.keystr(p)] for p, _ in flat]
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(template), leaves
-    )
+def _stage_in(x, host_ns, dev_ns):
+    if host_ns is not None and getattr(host_ns, "memory_kind", None) == "pinned_host":
+        # explicit sharding constraint first: the SPMD partitioner requires
+        # the memory-space annotate op to carry a concrete sharding
+        x = jax.lax.with_sharding_constraint(x, host_ns)
+        return jax.device_put(x, dev_ns)
+    return x
+
+
+def _stage_out(x, host_ns, dev_ns):
+    if host_ns is not None and getattr(host_ns, "memory_kind", None) == "pinned_host":
+        x = jax.lax.with_sharding_constraint(x, dev_ns)
+        return jax.device_put(x, host_ns)
+    return x
 
 
 def blockwise_staged_update(
@@ -168,21 +313,15 @@ def blockwise_staged_update(
     *,
     opt_shardings=None,
     opt_to_device=None,
-    block_bytes: int = 256 << 20,
 ):
     """Drop-in replacement for `tx.update(...) + optax.apply_updates(...)`
     (tx = train.optimizer.make_optimizer(params, cfg)) that streams offloaded
-    moments through HBM one block at a time. Returns (new_params, new_opt).
-
-    opt_shardings / opt_to_device: trees shaped like opt_state with the
-    pinned-host and device NamedShardings (both None = pure compute, still
-    blockwise-sequenced — the CPU-test configuration).
-    """
+    moments through HBM one block at a time. Handles plain, pinned-host, and
+    ChunkedHostArray moment leaves. Returns (new_params, new_opt)."""
     labels = lr_group_labels(params, cfg, cfg.stage)
     decay = _decay_mask(params)
     p_flat = _flat_with_keys(params)
     g_flat = _flat_with_keys(grads)
-    label_flat = _flat_with_keys(labels)
     decay_flat = _flat_with_keys(decay)
 
     new_params_flat: Dict[str, Any] = dict(p_flat)  # frozen leaves unchanged
@@ -191,7 +330,7 @@ def blockwise_staged_update(
 
     for label, mstate in opt_state.inner_states.items():
         unpacked = _label_state(mstate)
-        if unpacked is None:  # 'frozen' (set_to_zero) or stateless label
+        if unpacked is None:
             new_inner[label] = mstate
             continue
         adam, sched, master = unpacked
@@ -201,7 +340,10 @@ def blockwise_staged_update(
         keys = list(mu_flat.keys())
 
         # per-label global-norm clip (multi_transform masks each label's
-        # chain, so clip_by_global_norm sees only that label's grads)
+        # chain, so clip_by_global_norm sees only that label's grads).
+        # computed up front from the full grads — by dataflow this runs
+        # before any update block, so grad leaves can free as blocks consume
+        # them.
         if keys:
             gn = jnp.sqrt(
                 sum(
@@ -218,7 +360,6 @@ def blockwise_staged_update(
         c_inc = adam.count + 1
         lr = cosine_schedule(cfg, _PEAK_LR[label](cfg))(sched.count)
 
-        # shardings for this label's subtrees (same structure as opt_state)
         def _sub(tree, attr):
             if tree is None:
                 return {}
@@ -241,73 +382,82 @@ def blockwise_staged_update(
             mu, nu = mu_flat[k], nu_flat[k]
             ms = ms_flat.get(k)
             dec = bool(decay_flat[k])
+            kw = dict(cfg=cfg, clip_scale=clip_scale, lr=lr, c_inc=c_inc,
+                      decay=dec)
 
-            # split big stacked leaves (leading layer axis) into chunks so a
-            # single 8-GiB moment leaf never sits whole in HBM
-            n_rows = p.shape[0] if p.ndim > 0 else 1
-            leaf_bytes = _nbytes(mu, nu, ms)
-            n_chunks = 1
-            if leaf_bytes > block_bytes and p.ndim > 1 and n_rows > 1:
-                n_chunks = min(n_rows, math.ceil(leaf_bytes / block_bytes))
-            rows = [
-                (i * n_rows // n_chunks, (i + 1) * n_rows // n_chunks)
-                for i in range(n_chunks)
-            ]
+            if _is_chunked(mu):
+                def _chunk_ns(table, attr, idx):
+                    entry = table[attr].get(k)
+                    return entry.chunks[idx] if entry is not None else None
 
-            out_p, out_mu, out_nu, out_ms = [], [], [], []
-            for (s, e) in rows:
-                if n_chunks == 1:
-                    ins = [p, g, mu, nu] + ([ms] if ms is not None else [])
-                else:
-                    ins = [
-                        _host_slice(x, s, e - s) if host else
-                        jax.lax.slice_in_dim(x, s, e, axis=0)
-                        for x, host in (
-                            [(p, False), (g, False), (mu, True), (nu, True)]
-                            + ([(ms, True)] if ms is not None else [])
-                        )
-                    ]
-                # sequence: this chunk's stage-in waits for the prior chunk
+                out_p, out_mu, out_nu, out_ms = [], [], [], []
+                for i, (s, e) in enumerate(mu.row_ranges):
+                    pc = jax.lax.slice_in_dim(p, s, e, axis=0)
+                    gc = jax.lax.slice_in_dim(g, s, e, axis=0)
+                    ins = [mu.chunks[i], nu.chunks[i]] + (
+                        [ms.chunks[i]] if ms is not None else []
+                    )
+                    token, ins = _barrier(token, ins)
+                    muc = _stage_in(ins[0], _chunk_ns(host_sh, "mu", i),
+                                    _chunk_ns(dev_sh, "mu", i))
+                    nuc = _stage_in(ins[1], _chunk_ns(host_sh, "nu", i),
+                                    _chunk_ns(dev_sh, "nu", i))
+                    msc = None
+                    if ms is not None:
+                        msc = _stage_in(ins[2], _chunk_ns(host_sh, "master", i),
+                                        _chunk_ns(dev_sh, "master", i))
+                    np_, nmu, nnu, nms = _leaf_update(pc, gc, muc, nuc, msc, **kw)
+                    nmu = _stage_out(nmu, _chunk_ns(host_sh, "mu", i),
+                                     _chunk_ns(dev_sh, "mu", i))
+                    nnu = _stage_out(nnu, _chunk_ns(host_sh, "nu", i),
+                                     _chunk_ns(dev_sh, "nu", i))
+                    if nms is not None:
+                        nms = _stage_out(nms, _chunk_ns(host_sh, "master", i),
+                                         _chunk_ns(dev_sh, "master", i))
+                    outs = [np_, nmu, nnu] + ([nms] if nms is not None else [])
+                    token, outs = _barrier(token, outs)
+                    out_p.append(outs[0])
+                    out_mu.append(outs[1])
+                    out_nu.append(outs[2])
+                    if ms is not None:
+                        out_ms.append(outs[3])
+                new_params_flat[k] = jnp.concatenate(out_p, axis=0)
+                new_mu_flat[k] = ChunkedHostArray(tuple(out_mu))
+                new_nu_flat[k] = ChunkedHostArray(tuple(out_nu))
+                if ms is not None:
+                    new_ms_flat[k] = ChunkedHostArray(tuple(out_ms))
+                continue
+
+            host_mu = host_sh["mu"].get(k)
+            offloaded = getattr(host_mu, "memory_kind", None) == "pinned_host"
+            ins = [mu, nu] + ([ms] if ms is not None else [])
+            if offloaded:
                 token, ins = _barrier(token, ins)
-                pc, gc, muc, nuc = ins[:4]
-                msc = ins[4] if ms is not None else None
-                if dev_sh["mu"].get(k) is not None:
-                    muc = jax.device_put(muc, dev_sh["mu"][k])
-                    nuc = jax.device_put(nuc, dev_sh["nu"][k])
-                    if msc is not None and dev_sh["master"].get(k) is not None:
-                        msc = jax.device_put(msc, dev_sh["master"][k])
-                np_, nmu, nnu, nms = _leaf_update(
-                    pc, gc, muc, nuc, msc, cfg,
-                    clip_scale=clip_scale, lr=lr, c_inc=c_inc, decay=dec,
+                muc = _stage_in(ins[0], host_mu, dev_sh["mu"][k])
+                nuc = _stage_in(ins[1], host_sh["nu"][k], dev_sh["nu"][k])
+                msc = (
+                    _stage_in(ins[2], host_sh["master"][k], dev_sh["master"][k])
+                    if ms is not None else None
                 )
-                # stage the new moments straight back to host space so their
-                # HBM buffers free as soon as the copy completes
-                if host_sh["mu"].get(k) is not None and getattr(
-                    host_sh["mu"][k], "memory_kind", None
-                ) == "pinned_host":
-                    nmu = jax.device_put(nmu, host_sh["mu"][k])
-                    nnu = jax.device_put(nnu, host_sh["nu"][k])
-                    if nms is not None and host_sh["master"].get(k) is not None:
-                        nms = jax.device_put(nms, host_sh["master"][k])
+            else:
+                muc, nuc = ins[0], ins[1]
+                msc = ins[2] if ms is not None else None
+            np_, nmu, nnu, nms = _leaf_update(p, g, muc, nuc, msc, **kw)
+            if offloaded:
+                nmu = _stage_out(nmu, host_mu, dev_sh["mu"][k])
+                nnu = _stage_out(nnu, host_sh["nu"][k], dev_sh["nu"][k])
+                if nms is not None:
+                    nms = _stage_out(nms, host_sh["master"][k], dev_sh["master"][k])
                 outs = [np_, nmu, nnu] + ([nms] if nms is not None else [])
                 token, outs = _barrier(token, outs)
-                out_p.append(outs[0])
-                out_mu.append(outs[1])
-                out_nu.append(outs[2])
+                np_, nmu, nnu = outs[0], outs[1], outs[2]
                 if nms is not None:
-                    out_ms.append(outs[3])
-
-            if n_chunks == 1:
-                new_params_flat[k] = out_p[0]
-                new_mu_flat[k], new_nu_flat[k] = out_mu[0], out_nu[0]
-                if ms is not None:
-                    new_ms_flat[k] = out_ms[0]
-            else:
-                new_params_flat[k] = jnp.concatenate(out_p, axis=0)
-                new_mu_flat[k] = _host_concat(out_mu)
-                new_nu_flat[k] = _host_concat(out_nu)
-                if ms is not None:
-                    new_ms_flat[k] = _host_concat(out_ms)
+                    nms = outs[3]
+            new_params_flat[k] = np_
+            new_mu_flat[k] = nmu
+            new_nu_flat[k] = nnu
+            if ms is not None:
+                new_ms_flat[k] = nms
 
         new_adam = adam._replace(
             count=c_inc,
@@ -325,38 +475,32 @@ def blockwise_staged_update(
     return new_params, new_opt
 
 
-def init_opt_state_offloaded(tx, trainable, opt_shardings):
-    """tx.init without ever materializing the moment tree in HBM: zeros are
-    built on host per leaf and device_put straight into the (pinned-host)
-    sharding; master leaves are per-leaf f32 casts of the params. A plain
-    `jit(tx.init, out_shardings=...)` would allocate the full f32 tree on
-    device first — 28+ GiB for a 3.8B full-trainable model on one chip."""
-    import numpy as np
+def chunk_state_like(opt_state, opt_shape):
+    """Re-layout a tx.init-shaped optimizer state into the chunked layout of
+    `opt_shape` (host-side, test/checkpoint-restore helper)."""
+    flat = _flat_with_keys(opt_state)
+    shapes = _flat_with_keys(opt_shape)
+    out = {}
+    for k, s in shapes.items():
+        v = flat[k]
+        if isinstance(s, ChunkedHostArray) and not _is_chunked(v):
+            chunks, start = [], 0
+            for cs in s.chunks:
+                chunks.append(jnp.asarray(v[start:start + cs.shape[0]]))
+                start += cs.shape[0]
+            out[k] = ChunkedHostArray(tuple(chunks))
+        else:
+            out[k] = v
+    return _rebuild_tree(opt_shape, out)
 
-    shape = jax.eval_shape(tx.init, trainable)
-    p_flat = _flat_with_keys(trainable)
 
-    def build(path, s, sh):
-        key = jax.tree_util.keystr(path)
-        if "master" in key:
-            # strip the state prefix to find the param leaf key suffix
-            # (longest match: "['a']['w']" beats a bare "['w']")
-            pk = max(
-                (k for k in p_flat if key.endswith(k)),
-                key=len, default=None,
-            )
-            if pk is not None:
-                src = p_flat[pk]
-                cast = jax.jit(
-                    lambda x: x.astype(s.dtype), out_shardings=sh
-                )
-                return cast(src)
-        return jax.device_put(np.zeros(s.shape, s.dtype), sh)
+def unchunk_state(opt_state):
+    """Inverse of chunk_state_like: concatenate ChunkedHostArray leaves back
+    into whole arrays (host-side helper for checkpoint export/inspection)."""
 
-    flat, _ = jax.tree_util.tree_flatten_with_path(shape)
-    sh_flat = _flat_with_keys(opt_shardings)
-    out = {
-        jax.tree_util.keystr(p): build(p, s, sh_flat[jax.tree_util.keystr(p)])
-        for p, s in flat
-    }
-    return _rebuild_tree(shape, out)
+    def fix(x):
+        if _is_chunked(x):
+            return jnp.concatenate([jnp.asarray(c) for c in x.chunks], axis=0)
+        return x
+
+    return jax.tree_util.tree_map(fix, opt_state, is_leaf=_is_chunked)

@@ -200,14 +200,23 @@ def plan_train_shardings(
     opt_shardings = shd.to_named(opt_specs, mesh)
     if offload_opt_state:
         # zero3_offload.json-equivalent seam: persist optimizer moments in host
-        # memory; XLA stages them to HBM around the update. TPU-only memory kind —
+        # memory; the step streams them through HBM blockwise
+        # (train/staged_update.py — big leaves pre-chunked along the layer
+        # axis, small/replicated leaves stay in HBM). TPU-only memory kind —
         # fall back (with the flag ignored) where unsupported, e.g. CPU tests.
         # force_offload skips the device probe (AOT topologies have no devices).
         try:
             if not force_offload:
-                mesh.devices.flat[0].memory("pinned_host")  # raises if unsupported
-            opt_shardings = jax.tree_util.tree_map(
-                lambda ns: ns.with_memory_kind("pinned_host"), opt_shardings
+                dev = mesh.devices.flat[0]
+                # CPU registers a pinned_host memory space but can't execute
+                # the in-jit placement custom-call — require a real TPU
+                if dev.platform != "tpu":
+                    raise RuntimeError(f"no pinned_host on {dev.platform}")
+                dev.memory("pinned_host")  # raises if unsupported
+            from visper_lm_tpu.train.staged_update import plan_offload_layout
+
+            opt_shape, opt_shardings = plan_offload_layout(
+                opt_shape, opt_shardings, mesh
             )
         except Exception:
             pass
@@ -227,7 +236,6 @@ def make_step_fn(
     tx, base_loss_fn, opt_shardings, accum_steps: int = 1,
     opt_cfg: Optional[OptimizerConfig] = None,
     blockwise_staging: bool = True,
-    block_bytes: int = 256 << 20,
 ):
     """The pure train-step body: grads -> (pinned-host moment staging) ->
     tx.update -> new TrainState. Shared by make_train_step (live training) and
@@ -296,13 +304,16 @@ def make_step_fn(
             metrics, grads = accum_grads(state.params, frozen_params, tp, batch)
         else:
             (_, metrics), grads = grad_fn(state.params, frozen_params, tp, batch)
+        # grad_norm BEFORE the update: by dataflow the norm reduction then
+        # precedes every update block, so each grad leaf's buffer frees as
+        # soon as its own update consumes it (matters at full-model scale)
+        metrics["grad_norm"] = optax.global_norm(grads)
         if use_blockwise:
             from visper_lm_tpu.train.staged_update import blockwise_staged_update
 
             new_params, new_opt = blockwise_staged_update(
                 grads, state.opt_state, state.params, opt_cfg,
                 opt_shardings=opt_shardings, opt_to_device=opt_to_device,
-                block_bytes=block_bytes,
             )
         else:
             opt_state = state.opt_state
@@ -310,7 +321,6 @@ def make_step_fn(
                 opt_state = jax.device_put(opt_state, opt_to_device)
             updates, new_opt = tx.update(grads, opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(
             params=new_params, opt_state=new_opt, step=state.step + 1
         ), metrics
@@ -391,7 +401,9 @@ def make_train_step(
         # copying it out; build zeros on host and place them leaf-by-leaf.
         from visper_lm_tpu.train.staged_update import init_opt_state_offloaded
 
-        opt_state = init_opt_state_offloaded(tx, trainable, opt_shardings)
+        opt_state = init_opt_state_offloaded(
+            tx, trainable, opt_shape, opt_shardings
+        )
     else:
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(trainable)
     state = TrainState(
