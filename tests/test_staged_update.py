@@ -223,3 +223,40 @@ def test_init_offloaded_chunked_layout():
         )
     )
     _assert_tree_close(tx.init(trainable), unchunk_state(out), rtol=0, atol=0)
+
+
+def test_chunked_state_orbax_roundtrip(tmp_path):
+    """A ChunkedHostArray-bearing TrainState must survive checkpoint
+    save/restore (preemption + resume of an offloaded full-model run)."""
+    from visper_lm_tpu.train.checkpoint import CheckpointManager
+    from visper_lm_tpu.train.staged_update import (
+        chunk_state_like,
+        plan_offload_layout,
+        unchunk_state,
+    )
+    from visper_lm_tpu.train.train_step import TrainState
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune",
+                          master_weights=True, total_steps=50)
+    trainable = _trainable(_params(jnp.float32), cfg)
+    tx = make_optimizer(trainable, cfg)
+    shape = jax.eval_shape(tx.init, trainable)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
+                ("data", "model"))
+    ns = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), shape)
+    cshape, _ = plan_offload_layout(shape, ns, mesh, block_bytes=256, min_bytes=0)
+    opt = chunk_state_like(tx.init(trainable), cshape)
+    state = TrainState(params=trainable, opt_state=opt,
+                       step=jnp.zeros((), jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state)
+    mgr.wait()
+    like = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored = mgr.restore(like)
+    _assert_tree_close(unchunk_state(state.opt_state),
+                       unchunk_state(restored.opt_state), rtol=0, atol=0)
+    _assert_tree_close(state.params, restored.params, rtol=0, atol=0)
