@@ -41,9 +41,15 @@ def build_bench_cfg(smoke: bool, stage: str = "pretrain", tower: str = "clip"):
     # trainable (finetune.sh:15-48) — the dw-backward regime every headline
     # checkpoint ships through. --tower convnext benches config #3's
     # ConvNeXt-XXL trunk at 768 px (clip_convnext_encoder.py:150-174).
-    from visper_lm_tpu.config import phi3_clip_vlm, with_convnext_tower
+    from visper_lm_tpu.config import LoraConfig, phi3_clip_vlm, with_convnext_tower
 
     cfg = phi3_clip_vlm(distill=stage == "pretrain")
+    if stage == "lora":
+        # reference lora_enable IFT (train.py:983-999, r=64 alpha=16):
+        # adapters + projector train, base decoder frozen
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, lora=LoraConfig())
     if tower == "convnext":
         cfg = with_convnext_tower(cfg)
     return cfg
@@ -165,7 +171,12 @@ def measure(args, batch_size: int):
             cfg, opt_cfg, params, mesh, use_pallas=on_tpu,
             remat_policy=args.remat_policy,
             teacher_fn=teacher_fn, teacher_params=teacher_params,
+            offload_opt_state=args.offload_opt,
         )
+        # the TrainState holds its own copy of the trainables; drop the
+        # caller copy — at IFT scale (3.8B full-trainable on one 16 GB chip)
+        # keeping both trees alive is the difference between fitting and not
+        del params
         dbatch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, dbatch)  # warmup / compile
         loss = float(metrics["loss"])            # host sync
@@ -206,10 +217,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
     parser.add_argument("--stage", default="pretrain",
-                        choices=["pretrain", "finetune"],
+                        choices=["pretrain", "finetune", "lora"],
                         help="pretrain = PT distill step (the tracked metric); "
                         "finetune = IFT full-model dw-backward step "
-                        "(finetune.sh:15-48, lr 2e-5, no distill heads)")
+                        "(finetune.sh:15-48, lr 2e-5, no distill heads); "
+                        "lora = the reference lora_enable IFT regime "
+                        "(train.py:983-999, r=64 alpha=16)")
     parser.add_argument("--tower", default="clip", choices=["clip", "convnext"],
                         help="convnext = config #3's ConvNeXt-XXL trunk @768px")
     parser.add_argument("--anyres-tiles", type=int, default=0,
@@ -217,6 +230,12 @@ def main():
                         "through the tower (the config-#3 tile fan-out)")
     parser.add_argument("--master-weights", action="store_true",
                         help="f32 master weights in the optimizer")
+    parser.add_argument("--offload-opt", action="store_true",
+                        help="pinned-host AdamW moments with the blockwise "
+                        "streamed update (train/staged_update.py) — required "
+                        "for --stage finetune on one 16 GB chip, where f32 "
+                        "moments for 3.8B trainables (~14 GiB) can't live in "
+                        "HBM next to params+grads")
     parser.add_argument("--steps", type=int, default=8)
     # default = the measured per-chip sweet spot (B4 saturates the MXU at
     # T1024; B8 fits since round 2 but adds HBM pressure for no gain)
@@ -262,7 +281,7 @@ def main():
     assert best_value > 0, "no benchmark configuration succeeded"
     value, extras = best_value, best_extras
 
-    stage_tag = "pt" if args.stage == "pretrain" else "ift"
+    stage_tag = {"pretrain": "pt", "finetune": "ift", "lora": "lora_ift"}[args.stage]
     tower_tag = "" if args.tower == "clip" else "_convnext"
     metric = f"{stage_tag}{tower_tag}_train_step_examples_per_sec_per_chip"
 

@@ -23,6 +23,9 @@ def main() -> None:
     p.add_argument("--weight-quant", action="store_true", help="w8a16 decoder weights")
     p.add_argument("--weight-quant4", action="store_true",
                    help="w4a16 group-wise int4 decoder weights")
+    p.add_argument("--tower", default="clip", choices=["clip", "convnext"],
+                   help="convnext = config #3's ConvNeXt-XXL trunk @768px "
+                   "(prefill-side cost; decode loop is tower-independent)")
     args = p.parse_args()
 
     import jax
@@ -32,13 +35,15 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from visper_lm_tpu.config import phi3_clip_vlm, tiny_test_vlm
+    from visper_lm_tpu.config import phi3_clip_vlm, tiny_test_vlm, with_convnext_tower
     from visper_lm_tpu.constants import IMAGE_TOKEN_INDEX
     from visper_lm_tpu.data.collate import build_splice_plan
     from visper_lm_tpu.models.vlm import init_vlm
     from visper_lm_tpu.serve.generate import GenerationConfig, Generator, left_pad_plans
 
     cfg = tiny_test_vlm(distill=True) if args.smoke else phi3_clip_vlm(distill=True)
+    if args.tower == "convnext" and not args.smoke:
+        cfg = with_convnext_tower(cfg)
     B = 2 if args.smoke else args.batch
     prompt = 64 if args.smoke else args.prompt
     new = 8 if args.smoke else args.new
@@ -58,7 +63,7 @@ def main() -> None:
         for b in range(B)
     ]
     batch = left_pad_plans(plans, prompt)
-    size = cfg.vision.image_size
+    size = cfg.convnext.image_size if cfg.use_convnext_tower else cfg.vision.image_size
     batch["images"] = rng.normal(size=(B, size, size, 3)).astype(np.float32)
 
     wq = "int4" if args.weight_quant4 else args.weight_quant

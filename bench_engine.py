@@ -104,6 +104,9 @@ def main() -> None:
     float(jnp.sum(eng.tokens))
     eng_step_ms = 1000 * (time.perf_counter() - t0) / n_time
 
+    del eng.cache, eng  # free the slot cache BEFORE the Generator phase:
+    # at 16 slots the two caches cannot coexist on one v5e
+
     longest = max(r[0].seq_length for r in reqs_spec)
     prompt_pad = -(-longest // 128) * 128
     gbatch = left_pad_plans([r[0] for r in reqs_spec[:B]], prompt_pad)
@@ -124,7 +127,6 @@ def main() -> None:
     float(jnp.sum(toks))
     gen_step_ms = 1000 * (time.perf_counter() - t0) / (n_time * 8)
     del toks, cache, logits, gen, jb
-    del eng.cache, eng  # free the phase-1 slot cache before phase 2
 
     # ---- 2. end-to-end mixed workload --------------------------------------
     eng2 = Engine(params, cfg, EngineConfig(

@@ -170,6 +170,23 @@ def init_decoder(key: jax.Array, cfg: DecoderConfig) -> Params:
     return params
 
 
+def _lora_linear(block: Params, name: str, x: jax.Array) -> jax.Array:
+    """linear() plus the low-rank LoRA side path y = xW + (xA)B_scaled.
+
+    The side path is the TRAINING-memory-correct formulation: folding W+AB
+    into a merged kernel inside the traced step makes the backward carry a
+    full (L, din, dout) cotangent per target to reach A/B — measured 1.5 GiB
+    x 7 targets at 4B scale (compile OOM). Here dA/dB come from rank-r
+    intermediates only. (Offline merge for serving stays in models/lora.py.)
+    """
+    y = linear(block[name], x)
+    ab = block.get(f"lora_{name}")
+    if ab is not None:
+        z = jnp.einsum("btd,dr->btr", x, ab["a"].astype(x.dtype))
+        y = y + jnp.einsum("btr,ro->bto", z, ab["b"].astype(x.dtype))
+    return y
+
+
 def _block_forward(
     block: Params,
     cfg: DecoderConfig,
@@ -202,9 +219,9 @@ def _block_forward(
 
     x = rmsnorm(block["attn_norm"], h, cfg.norm_eps)
     _record(q_proj=x, k_proj=x, v_proj=x)
-    q = linear(block["q_proj"], x)
-    k = linear(block["k_proj"], x)
-    v = linear(block["v_proj"], x)
+    q = _lora_linear(block, "q_proj", x)
+    k = _lora_linear(block, "k_proj", x)
+    v = _lora_linear(block, "v_proj", x)
     # Barrier between the projections and the head-split: without it XLA fuses
     # dot+reshape into a convolution emitter whose preferred kernel layout
     # ({1,2,0}, din-minor) differs from the backward's ({2,1,0}), so it
@@ -268,7 +285,7 @@ def _block_forward(
 
     attn = attn.reshape(b, t, nh * hd)
     _record(o_proj=attn)
-    h = h + linear(block["o_proj"], attn)
+    h = h + _lora_linear(block, "o_proj", attn)
 
     x = rmsnorm(block["mlp_norm"], h, cfg.norm_eps)
     if "moe_router" in block:
@@ -298,8 +315,8 @@ def _block_forward(
     # backward). Saving them skips the three expensive recompute matmuls per
     # block; everything else (o_proj, down_proj outputs) is DCE'd from the
     # recompute because frozen layers take no dw.
-    gate_pre = linear(block["gate_proj"], x)
-    up = linear(block["up_proj"], x)
+    gate_pre = _lora_linear(block, "gate_proj", x)
+    up = _lora_linear(block, "up_proj", x)
     if quant_saves:
         # save_mlp_q8: checkpoint int8 (value, per-token scale) pairs instead
         # of bf16 — half the residual HBM of save_mlp (which OOMs at B4 on
@@ -314,7 +331,7 @@ def _block_forward(
     gate = jax.nn.silu(gate_pre)
     gu = gate * up
     _record(down_proj=gu)
-    h = h + linear(block["down_proj"], gu)
+    h = h + _lora_linear(block, "down_proj", gu)
     return h, new_cache, None
 
 
@@ -385,6 +402,8 @@ def decoder_forward(
     use_pallas: Optional[bool] = None,
     compute_logits: bool = True,
     unroll_layers: bool = False,
+    lora: Optional[Params] = None,               # {target: {a (L,din,r), b (L,r,dout)}}
+    lora_scaling: float = 1.0,
 ) -> Dict[str, Any]:
     """Run the decoder trunk.
 
@@ -397,6 +416,19 @@ def decoder_forward(
       cache: updated KVCache if one was passed
     """
     b, t, d = inputs_embeds.shape
+    if lora is not None:
+        # per-target LoRA A/B ride the scanned block tree as extra stacked
+        # (L, ...) entries (the scan/tap-segment bodies slice them per layer
+        # like any other block weight); scaling is baked into B here so the
+        # side path in _lora_linear is a plain pair of rank-r matmuls
+        params = dict(params)
+        blocks = dict(params["blocks"])
+        for name, ab in lora.items():
+            blocks[f"lora_{name}"] = {
+                "a": ab["a"],
+                "b": ab["b"] * jnp.asarray(lora_scaling, ab["b"].dtype),
+            }
+        params["blocks"] = blocks
     if positions is None:
         positions = jnp.arange(t)[None, :] + jnp.asarray(q_offset).reshape((-1, 1))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)

@@ -234,10 +234,12 @@ def vlm_forward(
     batch keys: images (B,H,W,3) | precomputed image_features, text_ids, token_type,
     src_index, seq_lengths.
     """
-    if cfg.lora is not None and "lora" in params:
-        from visper_lm_tpu.models.lora import apply_lora
-
-        params = apply_lora(params, cfg.lora)
+    # LoRA rides the decoder as a low-rank SIDE PATH (decoder._lora_linear),
+    # never merged inside the traced step: the merged form's backward carries
+    # a full (L, din, dout) cotangent per target to reach A/B — measured
+    # 1.5 GiB x 7 targets at 4B scale. Offline merge-for-serving stays in
+    # models/lora.py (builder.py merge-on-load equivalent).
+    lora = params.get("lora") if cfg.lora is not None else None
 
     if "image_features" in batch:
         image_features = batch["image_features"]
@@ -260,6 +262,8 @@ def vlm_forward(
         remat_policy=remat_policy,
         use_pallas=use_pallas,
         compute_logits=compute_logits,
+        lora=lora,
+        lora_scaling=cfg.lora.scaling if cfg.lora is not None else 1.0,
     )
     out["tap_layers"] = taps
     out["image_features"] = image_features
