@@ -7,12 +7,17 @@ results); this exercises the identical code over the virtual CPU mesh.
 
 import numpy as np
 
+import pytest
 import jax
 from jax.sharding import Mesh
 
 from visper_lm_tpu.config import tiny_test_vlm
 from visper_lm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from visper_lm_tpu.train.aot import lower_flagship_step, memory_report
+
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
 
 
 def test_abstract_lowering_compiles_and_reports_memory():

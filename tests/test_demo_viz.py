@@ -23,6 +23,10 @@ from visper_lm_tpu.utils.param import save_params_npz
 
 from test_data_pipeline import FakeTokenizer
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 class FakeTok(FakeTokenizer):
     eos_token_id = 2

@@ -40,6 +40,10 @@ from visper_lm_tpu.models.genpipe.unet import (
 )
 from visper_lm_tpu.models.genpipe.vae import VAEConfig, init_vae_decoder, vae_decode
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 # ------------------------------------------------------------------ schedulers
 

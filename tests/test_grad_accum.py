@@ -19,6 +19,10 @@ from visper_lm_tpu.train.train_step import make_train_step, shard_batch
 
 from test_train_e2e import _batch
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 def _targets(cfg, batch, bsz):
     rng = np.random.default_rng(7)

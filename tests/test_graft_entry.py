@@ -12,6 +12,10 @@ import sys
 
 import pytest
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -141,6 +141,7 @@ def test_import_inception_and_run():
     assert np.all(np.isfinite(feats))
 
 
+@pytest.mark.slow
 def test_fid_via_inception_npz_path(tmp_path):
     """eval.fid.inception_feature_fn loads an .npz of the canonical layout."""
     from visper_lm_tpu.eval.fid import fid_from_features, inception_feature_fn as fid_fn

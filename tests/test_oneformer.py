@@ -59,6 +59,7 @@ def hf_and_ours():
     return hf, our_cfg, swin_cfg, swin_params, dec_params
 
 
+@pytest.mark.slow
 def test_oneformer_mask_decoding_parity(hf_and_ours):
     hf, our_cfg, swin_cfg, swin_params, dec_params = hf_and_ours
     rng = np.random.default_rng(0)

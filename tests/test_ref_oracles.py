@@ -22,6 +22,10 @@ import pytest
 
 import jax.numpy as jnp
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/ola_vlm"

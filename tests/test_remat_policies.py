@@ -25,6 +25,10 @@ from visper_lm_tpu.parallel.mesh import make_mesh
 from visper_lm_tpu.train.optimizer import OptimizerConfig
 from visper_lm_tpu.train.train_step import make_train_step, shard_batch
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 def _loss_after_step(cfg, batch, policy):
     params = init_vlm(jax.random.PRNGKey(0), cfg)

@@ -14,6 +14,10 @@ from visper_lm_tpu.ops.attention import mha_xla
 from visper_lm_tpu.parallel.mesh import make_mesh
 from visper_lm_tpu.parallel.sequence import ring_attention, ulysses_attention
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 def _inputs(rng, b, t, nq, nkv, h):
     q = jnp.asarray(rng.normal(size=(b, t, nq, h)), jnp.float32)

@@ -17,6 +17,10 @@ from visper_lm_tpu.parallel.mesh import make_mesh
 from visper_lm_tpu.train.optimizer import OptimizerConfig
 from visper_lm_tpu.train.train_step import make_train_step, shard_batch
 
+# heavyweight (subprocess / AOT compile / oracle / e2e) — excluded from the
+# fast default suite (pytest.ini addopts); run everything with: pytest -m ''
+pytestmark = pytest.mark.slow
+
 
 def _tiny_teacher_cfgs(cfg):
     # teacher output dims must match the tiny distill task target dims (24/24/16)
