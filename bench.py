@@ -217,12 +217,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
     parser.add_argument("--stage", default="pretrain",
-                        choices=["pretrain", "finetune", "lora"],
+                        choices=["pretrain", "finetune", "lora", "vision_tower"],
                         help="pretrain = PT distill step (the tracked metric); "
                         "finetune = IFT full-model dw-backward step "
                         "(finetune.sh:15-48, lr 2e-5, no distill heads); "
                         "lora = the reference lora_enable IFT regime "
-                        "(train.py:983-999, r=64 alpha=16)")
+                        "(train.py:983-999, r=64 alpha=16); vision_tower = "
+                        "the --unfreeze_mm_vision_tower regime "
+                        "(train.py:1059-1063: ONLY tower+projector train)")
     parser.add_argument("--tower", default="clip", choices=["clip", "convnext"],
                         help="convnext = config #3's ConvNeXt-XXL trunk @768px")
     parser.add_argument("--anyres-tiles", type=int, default=0,
@@ -281,7 +283,8 @@ def main():
     assert best_value > 0, "no benchmark configuration succeeded"
     value, extras = best_value, best_extras
 
-    stage_tag = {"pretrain": "pt", "finetune": "ift", "lora": "lora_ift"}[args.stage]
+    stage_tag = {"pretrain": "pt", "finetune": "ift", "lora": "lora_ift",
+                 "vision_tower": "vt"}[args.stage]
     tower_tag = "" if args.tower == "clip" else "_convnext"
     metric = f"{stage_tag}{tower_tag}_train_step_examples_per_sec_per_chip"
 

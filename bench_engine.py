@@ -139,6 +139,7 @@ def main() -> None:
     eng_e2e_s = time.perf_counter() - t0
     n_tok = sum(len(r.output_ids) for r in finished)
     occupancy = eng2.stats["slot_steps"] / max(eng2.stats["steps"] * B, 1)
+    del eng2.cache, eng2  # the 16-slot cache and the Generator's cannot coexist
 
     # reference-style batch loop: fixed batches, each waits for its longest.
     # ONE compiled Generator drives every batch (prefill + ceil(max/chunk)
@@ -167,6 +168,7 @@ def main() -> None:
         loop_tok += sum(c[2] for c in reqs_spec[i:i + B])
         del cache
     loop_e2e_s = time.perf_counter() - t0
+    del g, jb, logits, token, toks
 
     # ---- 3. prefix caching: turn latency over a long chat history ----------
     # the reference pattern re-prefills history+delta every turn; the session
@@ -176,10 +178,22 @@ def main() -> None:
     eng3 = Engine(params, cfg, EngineConfig(
         num_slots=1, max_len=max_len, kv_quant=kvq, weight_quant=wq,
     ))
+    def make_text_plan(n: int):
+        # a chat turn's delta is TEXT ONLY — the image lives in the cached
+        # history prefix (a second <image> would add 576+ tokens per turn and
+        # blow past max_len at realistic history lengths)
+        return build_splice_plan(
+            list(rng.integers(3, cfg.decoder.vocab_size - 10, size=n)),
+            None, max_len,
+            num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens,
+            num_tasks=len(cfg.distill.task_order()),
+        )
+
     hist_plan = make_plan(hist_tok)
     img = reqs_spec[0][1]
     full_plan = make_plan(hist_tok + delta_tok)
-    delta_plan = make_plan(delta_tok)
+    delta_plan = make_text_plan(delta_tok)
     handle = eng3.prefill_prefix(hist_plan, images=img)
 
     def time_turn(req):

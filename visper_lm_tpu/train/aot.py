@@ -121,8 +121,11 @@ def lower_flagship_step(
         plan_train_shardings,
     )
 
+    # 'pretrain_full' (beyond parity: distill losses + full-model backward)
+    # maps to the 'full' freeze policy; the distill stack comes from cfg
+    opt_stage = {"pretrain_full": "full"}.get(stage, stage)
     opt_kwargs = dict(learning_rate=learning_rate, total_steps=1000,
-                      stage=stage, master_weights=master_weights)
+                      stage=opt_stage, master_weights=master_weights)
     if mu_dtype:
         opt_kwargs["mu_dtype"] = mu_dtype
     opt_cfg = OptimizerConfig(**opt_kwargs)
@@ -276,11 +279,15 @@ def main(argv=None) -> int:
     parser.add_argument("--seq", type=int, default=4096)
     parser.add_argument("--model", default="llama3", choices=["llama3", "phi3"])
     parser.add_argument("--stage", default="pretrain",
-                        choices=["pretrain", "finetune", "vpt"],
+                        choices=["pretrain", "finetune", "vpt", "pretrain_full"],
                         help="pretrain = frozen-trunk distillation (PT); "
                         "finetune = FULL-model IFT, no distill heads/teachers "
                         "(finetune.sh); vpt = identical program to finetune "
-                        "(vpt.sh runs the plain IFT trainer, tower frozen)")
+                        "(vpt.sh runs the plain IFT trainer, tower frozen); "
+                        "pretrain_full = BEYOND PARITY: distill losses + "
+                        "teachers + FULL-model backward — continuing "
+                        "distillation through IFT, inexpressible in the "
+                        "reference")
     parser.add_argument("--master-weights", action="store_true",
                         help="f32 master copy of bf16 trainables "
                         "(DeepSpeed bf16-mode fp32_weights equivalent)")
@@ -316,8 +323,8 @@ def main(argv=None) -> int:
     # VPT (vpt.sh) both run the plain IFT trainer — NTP only, tower frozen,
     # heads dropped at load (train.py instantiates LlavaLlamaForCausalLM) —
     # so their compiled step and memory envelope are identical.
-    distill = args.stage == "pretrain"
-    if args.stage != "pretrain":
+    distill = args.stage in ("pretrain", "pretrain_full")
+    if not distill:
         args.no_teachers = True
     cfg = (llama3_clip_vlm if args.model == "llama3" else phi3_clip_vlm)(
         distill=distill
