@@ -98,11 +98,13 @@ def main() -> None:
         eng.submit(Request(plan=plan, images=im, max_new_tokens=10 ** 9, uid=i))
     eng.step()  # admits + compiles the step
     n_time = 4 if args.smoke else 32
+    q = eng.ecfg.decode_quantum
     t0 = time.perf_counter()
     for _ in range(n_time):
         eng.step()
     float(jnp.sum(eng.tokens))
     eng_step_ms = 1000 * (time.perf_counter() - t0) / n_time
+    eng_tok_ms = eng_step_ms / max(q, 1)   # per decoded token per slot-row
 
     del eng.cache, eng  # free the slot cache BEFORE the Generator phase:
     # at 16 slots the two caches cannot coexist on one v5e
@@ -215,7 +217,10 @@ def main() -> None:
     # greedy-exact: same tokens, fewer target weight reads. Acceptance (and so
     # the speedup) is workload-dependent — random-weight greedy decode repeats
     # tokens, so treat the acceptance rate printed alongside as the context.
-    del eng3
+    del eng3, handle  # the prefix handle pins a full slot-length KV chain
+    import gc
+
+    gc.collect()
     eng4 = Engine(params, cfg, EngineConfig(
         num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
         spec_k=4, spec_ngram=3,
@@ -240,9 +245,11 @@ def main() -> None:
             spec_tok / max(eng4.stats["steps"], 1), 2),
         "spec_speedup": round(eng_e2e_s / spec_e2e_s, 2),
         "engine_step_ms": round(eng_step_ms, 2),
+        "engine_tok_ms": round(eng_tok_ms, 2),
+        "decode_quantum": q,
         "generator_step_ms": round(gen_step_ms, 2),
         "scatter_overhead_pct": round(
-            100 * (eng_step_ms - gen_step_ms) / max(gen_step_ms, 1e-9), 1),
+            100 * (eng_tok_ms - gen_step_ms) / max(gen_step_ms, 1e-9), 1),
         "slots": B,
         "requests": n_req,
         "engine_e2e_s": round(eng_e2e_s, 2),

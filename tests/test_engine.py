@@ -294,8 +294,12 @@ def test_chunked_prefill_interleaves_decode(setup):
     stall seen by in-flight requests is bounded by ONE chunk, not the whole
     prompt. Outputs stay token-exact."""
     cfg, params, plans, images = setup
+    # decode_quantum=1: this test checks per-chunk interleave GRANULARITY
+    # (one decode step between chunk advances); with a larger quantum each
+    # interleave is quantum tokens instead of one
     eng = Engine(params, cfg, EngineConfig(
         num_slots=2, max_len=512, prefill_chunk=64, prompt_bucket=64,
+        decode_quantum=1,
     ))
     short = Request(plan=plans[0], images=images[0][None],
                     max_new_tokens=64, uid="s")
@@ -448,3 +452,24 @@ def test_speculative_engine_near_capacity_fallback(setup):
     got = eng.run([Request(plan=plans[3], images=images[3][None],
                            max_new_tokens=200, uid=0)])[0].output_ids
     assert got == expected, (len(got), len(expected))
+
+
+def test_decode_quantum_token_exact_and_fewer_syncs(setup):
+    """A quantum-N engine emits EXACTLY the per-token engine's outputs (stop
+    overshoot tokens are discarded at absorb) in ~N x fewer engine steps —
+    the per-step host sync is the dominant serving cost on high-latency
+    links (BASELINE.md round-4 measurement)."""
+    cfg, params, plans, images = setup
+    max_news = [6, 9, 4, 7, 5]
+    reqs = lambda: [
+        Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+        for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+    ]
+    e1 = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512,
+                                          decode_quantum=1))
+    f1 = {r.uid: r.output_ids for r in e1.run(reqs())}
+    e8 = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512,
+                                          decode_quantum=8))
+    f8 = {r.uid: r.output_ids for r in e8.run(reqs())}
+    assert f1 == f8
+    assert e8.stats["steps"] * 3 < e1.stats["steps"]

@@ -65,6 +65,14 @@ class EngineConfig:
     # prompt_bucket multiple at engine init so chunk prefills carry no dead
     # left-pad slots in the handle.
     prefill_chunk: Optional[int] = None
+    # decode quantum: one engine step scans N decode tokens per slot inside a
+    # single jit and syncs tokens to host ONCE. Per-token host syncs dominate
+    # wall time when host<->device latency is nontrivial (measured on the
+    # tunneled v5e: 362 ms/step vs 12 ms of device compute); stop detection /
+    # slot retirement happen at quantum boundaries (outputs are unchanged —
+    # absorb discards post-stop tokens), and admission latency is quantized
+    # to N tokens. N=1 reproduces per-token scheduling exactly.
+    decode_quantum: int = 8
     temperature: float = 0.0
     top_p: float = 1.0
     kv_quant: bool = False             # int8 KV cache (same tradeoff as Generator)
@@ -168,6 +176,13 @@ class Engine:
         self.lengths = jnp.zeros((B,), jnp.int32)      # valid kv length (write pos)
         self.kv_starts = jnp.full((B,), S, jnp.int32)  # first valid slot (mask all)
         self.tokens = jnp.zeros((B,), jnp.int32)       # last sampled token
+        # host mirrors of lengths/kv_starts: every host decision (stop checks,
+        # capacity, harvest bookkeeping) reads these instead of the device
+        # arrays — a device read per token costs a full host<->device round
+        # trip (the dominant serving cost on high-latency links)
+        self.lengths_host = np.zeros((B,), np.int64)
+        self.kv_starts_host = np.full((B,), S, np.int64)
+        self.tokens_host = np.zeros((B,), np.int32)
         # host-side slot table
         self.slot_req: List[Optional[Request]] = [None] * B
         self.slot_gen = [0] * B           # bumps on every fill (harvest guard)
@@ -185,6 +200,7 @@ class Engine:
             )
         self._prefill_cache: Dict[int, Callable] = {}
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._qstep = jax.jit(self._quantum_impl, donate_argnums=(1,))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._key = jax.random.PRNGKey(0)
         if ecfg.spec_k:
@@ -378,6 +394,39 @@ class Engine:
         new_lengths = jnp.minimum(lengths + 1, self.ecfg.max_len)
         return next_tokens, tuple(out["cache"]), new_lengths
 
+    def _quantum_impl(self, params, cache_arrays, tokens, lengths, kv_starts,
+                      key):
+        """decode_quantum tokens for every slot in ONE jit: lax.scan over the
+        single-token step so the host syncs once per quantum instead of once
+        per token. Returns ((Q, B) tokens, cache, last tokens, lengths)."""
+        cfg = self.cfg
+        gen_cfg = GenerationConfig(
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+        )
+
+        def body(carry, k):
+            arrays, toks, lens = carry
+            cache = self._cache_cls(*arrays)
+            emb = dec.embed_tokens(params["decoder"], toks[:, None])
+            out = dec.decoder_forward(
+                params["decoder"], cfg.decoder, emb,
+                positions=(lens - kv_starts)[:, None],
+                kv_lengths=lens + 1,
+                kv_starts=kv_starts,
+                cache=cache,
+                q_offset=lens,
+                tap_layers=(),
+            )
+            nxt = _sample_tokens(out["logits"][:, 0], gen_cfg, k)
+            new_lens = jnp.minimum(lens + 1, self.ecfg.max_len)
+            return (tuple(out["cache"]), nxt, new_lens), nxt
+
+        keys = jax.random.split(key, self.ecfg.decode_quantum)
+        (arrays, tokens, lengths), toks = jax.lax.scan(
+            body, (cache_arrays, tokens, lengths), keys
+        )
+        return toks, arrays, tokens, lengths
+
     def _spec_step_impl(self, params, cache_arrays, chunk_tokens, lengths,
                         kv_starts):
         """Verify a (B, spec_k+1) token chunk for every slot at its own
@@ -495,6 +544,9 @@ class Engine:
             jnp.int32(new_len), jnp.int32(new_start), first,
         )
         self.cache = self._cache_cls(*cache_arrays)
+        self.lengths_host[slot] = int(new_len)
+        self.kv_starts_host[slot] = int(new_start)
+        self.tokens_host[slot] = int(first)
         self.slot_gen[slot] += 1
         self.slot_req[slot] = req
         req.first_token_t = time.perf_counter()
@@ -519,7 +571,7 @@ class Engine:
             req.stream_callback(token)
         self.stats["decoded_tokens"] += 1
         if slot_len is None:
-            slot_len = int(np.asarray(self.lengths[slot]))
+            slot_len = int(self.lengths_host[slot])  # host mirror — no sync
         done = (
             token in req.eos_token_ids
             or len(req.output_ids) >= req.max_new_tokens
@@ -537,7 +589,7 @@ class Engine:
             req.slot = slot
             req.slot_gen = self.slot_gen[slot]
             req.final_kv_len = slot_len
-            req.final_kv_start = int(np.asarray(self.kv_starts[slot]))
+            req.final_kv_start = int(self.kv_starts_host[slot])
             self.finished.append(req)
             self.slot_req[slot] = None
 
@@ -577,29 +629,48 @@ class Engine:
                     return  # bound per-step prefill work to one unit
 
     def step(self) -> None:
-        """Admit queued requests into free slots, then decode one token/slot
-        (or verify a speculative chunk per slot when spec_k is on)."""
+        """Admit queued requests into free slots, then decode one QUANTUM of
+        tokens per slot (or verify a speculative chunk per slot when spec_k
+        is on) — one host sync per quantum, not per token."""
         self._admit()
         if not any(r is not None for r in self.slot_req):
             return
         if self.ecfg.spec_k and self._spec_capacity_ok():
             self._spec_decode_step()
             return
+        q = self.ecfg.decode_quantum
         self._key, sub = jax.random.split(self._key)
-        next_tokens, cache_arrays, self.lengths = self._step(
-            self.params, tuple(self.cache), self.tokens, self.lengths,
-            self.kv_starts, sub,
-        )
+        if q <= 1:
+            next_tokens, cache_arrays, self.lengths = self._step(
+                self.params, tuple(self.cache), self.tokens, self.lengths,
+                self.kv_starts, sub,
+            )
+            toks = np.asarray(next_tokens)[None, :]   # (1, B)
+            self.tokens = next_tokens
+        else:
+            toks_stack, cache_arrays, self.tokens, self.lengths = self._qstep(
+                self.params, tuple(self.cache), self.tokens, self.lengths,
+                self.kv_starts, sub,
+            )
+            toks = np.asarray(toks_stack)             # (Q, B) — ONE sync
         self.cache = self._cache_cls(*cache_arrays)
-        self.tokens = next_tokens
-        toks = np.asarray(next_tokens)
+        self.tokens_host = toks[-1].astype(np.int32).copy()
+        base = self.lengths_host.copy()
+        self.lengths_host = np.minimum(base + toks.shape[0], self.ecfg.max_len)
         self.stats["steps"] += 1
-        self.stats["slot_steps"] += sum(
-            1 for r in self.slot_req if r is not None
-        )
         for slot in range(self.ecfg.num_slots):
-            if self.slot_req[slot] is not None:
-                self._absorb(slot, int(toks[slot]))
+            if self.slot_req[slot] is None:
+                continue
+            for j in range(toks.shape[0]):
+                self.stats["slot_steps"] += 1
+                self._absorb(
+                    slot, int(toks[j, slot]),
+                    slot_len=int(min(base[slot] + j + 1, self.ecfg.max_len)),
+                )
+                if self.slot_req[slot] is None:
+                    # retired mid-quantum: later tokens are discarded (their
+                    # clamped KV writes land outside the harvest range)
+                    break
 
     def _spec_capacity_ok(self) -> bool:
         """A verify chunk writes spec_k+1 KV slots per ACTIVE slot; near the
@@ -607,11 +678,10 @@ class Engine:
         the chunk's dynamic-update-slice can never clamp backwards and
         overwrite valid slots."""
         k1 = self.ecfg.spec_k + 1
-        lengths = np.asarray(self.lengths)
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            if int(lengths[slot]) + k1 > self.ecfg.max_len:
+            if int(self.lengths_host[slot]) + k1 > self.ecfg.max_len:
                 return False
         return True
 
@@ -624,7 +694,7 @@ class Engine:
 
         k = self.ecfg.spec_k
         B = self.ecfg.num_slots
-        toks_host = np.asarray(self.tokens)
+        toks_host = self.tokens_host.copy()  # host mirror — no sync
         chunk = np.zeros((B, k + 1), np.int32)
         proposals: List[List[int]] = []
         for slot in range(B):
@@ -642,7 +712,7 @@ class Engine:
         )
         self.cache = self._cache_cls(*cache_arrays)
         am = np.asarray(argmax)
-        lengths = np.asarray(self.lengths).copy()
+        lengths = self.lengths_host.astype(np.int64).copy()
         new_tokens = toks_host.copy()
         self.stats["steps"] += 1
         for slot in range(B):
@@ -667,7 +737,9 @@ class Engine:
                     break
             lengths[slot] = base + adv
             new_tokens[slot] = emitted[adv - 1]
+        self.lengths_host = lengths.copy()
         self.lengths = jnp.asarray(lengths)
+        self.tokens_host = new_tokens.copy()
         self.tokens = jnp.asarray(new_tokens)
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
