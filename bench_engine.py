@@ -140,7 +140,9 @@ def main() -> None:
     finished = eng2.run(reqs)
     eng_e2e_s = time.perf_counter() - t0
     n_tok = sum(len(r.output_ids) for r in finished)
-    occupancy = eng2.stats["slot_steps"] / max(eng2.stats["steps"] * B, 1)
+    occupancy = eng2.stats["slot_steps"] / max(
+        eng2.stats["steps"] * B * eng2.ecfg.decode_quantum, 1
+    )
     del eng2.cache, eng2  # the 16-slot cache and the Generator's cannot coexist
 
     # reference-style batch loop: fixed batches, each waits for its longest.

@@ -183,6 +183,8 @@ class Engine:
         self.lengths_host = np.zeros((B,), np.int64)
         self.kv_starts_host = np.full((B,), S, np.int64)
         self.tokens_host = np.zeros((B,), np.int32)
+        # slots whose prefill-sampled first token awaits the next quantum sync
+        self._pending_first = [False] * B
         # host-side slot table
         self.slot_req: List[Optional[Request]] = [None] * B
         self.slot_gen = [0] * B           # bumps on every fill (harvest guard)
@@ -216,6 +218,9 @@ class Engine:
 
     def _make_prefill(self, pad_to: int):
         """Batch-1 prefill at a bucketed prompt length; returns (logits, kv)."""
+        return jax.jit(self._make_prefill_fn(pad_to))
+
+    def _make_prefill_fn(self, pad_to: int):
         cfg = self.cfg
 
         def prefill(params, batch):
@@ -255,7 +260,30 @@ class Engine:
                 logits = linear(dp["lm_head"], last).astype(jnp.float32)
             return logits, tuple(out["cache"])
 
-        return jax.jit(prefill)
+        return prefill
+
+    def _make_prefill_insert(self, pad_to: int):
+        """Fused admission: batch-1 prefill + first-token sample + slot
+        insert in ONE jitted call. Admission used to cost two device calls
+        (prefill, insert) — per-call dispatch latency is a real serving cost
+        on high-latency links, and the batch-1 KV slab round-trips through a
+        host-visible handle between them."""
+        prefill = self._make_prefill_fn(pad_to)
+        gen_cfg = GenerationConfig(
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+        )
+
+        def prefill_insert(params, batch, slot, cache_arrays, lengths,
+                           kv_starts, tokens, new_len, new_start, key):
+            logits, kv = prefill(params, batch)
+            first = _sample_tokens(logits[0], gen_cfg, key)
+            out = self._insert_impl(
+                slot, cache_arrays, kv, lengths, kv_starts, tokens,
+                new_len, new_start, first,
+            )
+            return out + (first,)
+
+        return jax.jit(prefill_insert, donate_argnums=(3,))
 
     def _make_suffix(self, pad_to: int):
         """Batch-1 continuation prefill: run only the NEW tokens (right-padded
@@ -422,10 +450,14 @@ class Engine:
             return (tuple(out["cache"]), nxt, new_lens), nxt
 
         keys = jax.random.split(key, self.ecfg.decode_quantum)
+        in_tokens = tokens
         (arrays, tokens, lengths), toks = jax.lax.scan(
             body, (cache_arrays, tokens, lengths), keys
         )
-        return toks, arrays, tokens, lengths
+        # in_tokens rides back so a just-filled slot's FIRST token (sampled by
+        # the prefill, never synced) can be absorbed at this quantum's single
+        # sync instead of costing its own host round trip at admission
+        return toks, in_tokens, arrays, tokens, lengths
 
     def _spec_step_impl(self, params, cache_arrays, chunk_tokens, lengths,
                         kv_starts):
@@ -520,29 +552,39 @@ class Engine:
                 req.prefix, plan, req.images, req.image_features
             )
             new_start = req.prefix.start
+            first = None
         else:
             pad_to = self._bucket(plan.seq_length)
             assert plan.seq_length <= self.ecfg.max_len, "prompt exceeds cache"
-            if pad_to not in self._prefill_cache:
-                self._prefill_cache[pad_to] = self._make_prefill(pad_to)
+            key = ("fill", pad_to)
+            if key not in self._prefill_cache:
+                self._prefill_cache[key] = self._make_prefill_insert(pad_to)
             batch = left_pad_plans([plan], pad_to)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if req.image_features is not None:
                 batch["image_features"] = jnp.asarray(req.image_features)
             elif req.images is not None:
                 batch["images"] = jnp.asarray(req.images)
-            logits, kv = self._prefill_cache[pad_to](self.params, batch)
             new_len, new_start = pad_to, pad_to - plan.seq_length
-        self._key, sub = jax.random.split(self._key)
-        gen_cfg = GenerationConfig(
-            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
-        )
-        first = _sample_tokens(logits[0], gen_cfg, sub)
-        cache_arrays, self.lengths, self.kv_starts, self.tokens = self._insert(
-            jnp.int32(slot), tuple(self.cache), kv,
-            self.lengths, self.kv_starts, self.tokens,
-            jnp.int32(new_len), jnp.int32(new_start), first,
-        )
+            self._key, sub = jax.random.split(self._key)
+            # ONE fused device call: prefill + first-token sample + insert
+            (cache_arrays, self.lengths, self.kv_starts, self.tokens,
+             first) = self._prefill_cache[key](
+                self.params, batch, jnp.int32(slot), tuple(self.cache),
+                self.lengths, self.kv_starts, self.tokens,
+                jnp.int32(new_len), jnp.int32(new_start), sub,
+            )
+        if req.prefix is not None:
+            self._key, sub = jax.random.split(self._key)
+            gen_cfg = GenerationConfig(
+                temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+            )
+            first = _sample_tokens(logits[0], gen_cfg, sub)
+            cache_arrays, self.lengths, self.kv_starts, self.tokens = self._insert(
+                jnp.int32(slot), tuple(self.cache), kv,
+                self.lengths, self.kv_starts, self.tokens,
+                jnp.int32(new_len), jnp.int32(new_start), first,
+            )
         self.cache = self._cache_cls(*cache_arrays)
         self.lengths_host[slot] = int(new_len)
         self.kv_starts_host[slot] = int(new_start)
@@ -550,9 +592,18 @@ class Engine:
         self.slot_gen[slot] += 1
         self.slot_req[slot] = req
         req.first_token_t = time.perf_counter()
-        if self.ecfg.spec_k:
-            req._history.extend(self._plan_text_ids(plan))
-        self._absorb(slot, int(first))
+        if self.ecfg.spec_k or self.ecfg.decode_quantum <= 1:
+            # spec proposals need the token value on host immediately
+            self.tokens_host[slot] = int(first)   # one sync per admission
+            if self.ecfg.spec_k:
+                req._history.extend(self._plan_text_ids(plan))
+            self._absorb(slot, int(self.tokens_host[slot]))
+            self._pending_first[slot] = False
+        else:
+            # the first token's VALUE stays on device; it is absorbed at the
+            # next quantum's single sync (in_tokens) — admission costs no
+            # host round trip
+            self._pending_first[slot] = True
         self.stats["prefills"] += 1
 
     def _absorb(self, slot: int, token: int,
@@ -646,13 +697,20 @@ class Engine:
                 self.kv_starts, sub,
             )
             toks = np.asarray(next_tokens)[None, :]   # (1, B)
+            in_toks = None
             self.tokens = next_tokens
         else:
-            toks_stack, cache_arrays, self.tokens, self.lengths = self._qstep(
-                self.params, tuple(self.cache), self.tokens, self.lengths,
-                self.kv_starts, sub,
+            toks_stack, in_tokens, cache_arrays, self.tokens, self.lengths = (
+                self._qstep(
+                    self.params, tuple(self.cache), self.tokens, self.lengths,
+                    self.kv_starts, sub,
+                )
             )
-            toks = np.asarray(toks_stack)             # (Q, B) — ONE sync
+            # ONE sync for the quantum's tokens AND any deferred first tokens
+            joined = np.asarray(
+                jnp.concatenate([in_tokens[None, :], toks_stack], axis=0)
+            )
+            in_toks, toks = joined[0], joined[1:]
         self.cache = self._cache_cls(*cache_arrays)
         self.tokens_host = toks[-1].astype(np.int32).copy()
         base = self.lengths_host.copy()
@@ -661,6 +719,13 @@ class Engine:
         for slot in range(self.ecfg.num_slots):
             if self.slot_req[slot] is None:
                 continue
+            if self._pending_first[slot] and in_toks is not None:
+                self._pending_first[slot] = False
+                self.stats["slot_steps"] += 1
+                self._absorb(slot, int(in_toks[slot]),
+                             slot_len=int(base[slot]))
+                if self.slot_req[slot] is None:
+                    continue
             for j in range(toks.shape[0]):
                 self.stats["slot_steps"] += 1
                 self._absorb(
