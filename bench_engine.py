@@ -27,6 +27,8 @@ def main() -> None:
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--max-len", type=int, default=1536)
+    p.add_argument("--quantum", type=int, default=None,
+                   help="decode_quantum override (default: EngineConfig's 8)")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -53,6 +55,7 @@ def main() -> None:
     max_len = 256 if args.smoke else args.max_len
     kvq = on_tpu
     wq = on_tpu
+    qkw = {} if args.quantum is None else {"decode_quantum": args.quantum}
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     if wq:
@@ -91,7 +94,7 @@ def main() -> None:
 
     # ---- 1. steady-state step-time comparison -----------------------------
     eng = Engine(params, cfg, EngineConfig(
-        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq, **qkw,
     ))
     for i in range(B):
         plan, im, _ = reqs_spec[i % n_req]
@@ -132,7 +135,7 @@ def main() -> None:
 
     # ---- 2. end-to-end mixed workload --------------------------------------
     eng2 = Engine(params, cfg, EngineConfig(
-        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
+        num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq, **qkw,
     ))
     reqs = [Request(plan=pl, images=im, max_new_tokens=mn, uid=i)
             for i, (pl, im, mn) in enumerate(reqs_spec)]
@@ -226,6 +229,7 @@ def main() -> None:
     eng4 = Engine(params, cfg, EngineConfig(
         num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq,
         spec_k=4, spec_ngram=3,
+        spec_quantum=0 if args.smoke else 4,   # in-graph rounds, 1 sync/step
     ))
     reqs4 = [Request(plan=pl, images=im, max_new_tokens=mn_, uid=i)
              for i, (pl, im, mn_) in enumerate(reqs_spec)]

@@ -473,3 +473,32 @@ def test_decode_quantum_token_exact_and_fewer_syncs(setup):
     f8 = {r.uid: r.output_ids for r in e8.run(reqs())}
     assert f1 == f8
     assert e8.stats["steps"] * 3 < e1.stats["steps"]
+
+
+def test_spec_quantum_matches_plain(setup):
+    """In-graph speculative quantum (spec_quantum rounds per jit, one host
+    sync): token-exact vs the plain engine, with multiple rounds' emissions
+    absorbed per step and in-graph history/acceptance."""
+    cfg, params, plans, images = setup
+    max_news = [8, 6, 10, 7, 6]
+    mk = lambda: [
+        Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+        for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+    ]
+    base = Engine(params, cfg, EngineConfig(num_slots=2, max_len=512))
+    expected = {r.uid: r.output_ids for r in base.run(mk())}
+
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=2, max_len=512, spec_k=4, spec_ngram=3, spec_quantum=3,
+    ))
+    got = {r.uid: r.output_ids for r in eng.run(mk())}
+    assert got == expected, (got, expected)
+    assert eng.stats["spec_accepted"] > 0, eng.stats
+    # 3 in-graph rounds per step: strictly fewer engine steps (host syncs)
+    # than the host-driven spec engine needs for the same workload
+    host_spec = Engine(params, cfg, EngineConfig(
+        num_slots=2, max_len=512, spec_k=4, spec_ngram=3,
+    ))
+    host_spec.run(mk())
+    assert eng.stats["steps"] < host_spec.stats["steps"], (
+        eng.stats, host_spec.stats)

@@ -88,6 +88,13 @@ class EngineConfig:
     # serve/speculative.py. Greedy outputs are token-exact vs the plain step.
     spec_k: int = 0                    # drafted tokens per step (0 = off)
     spec_ngram: int = 3                # n-gram length for prompt lookup
+    # in-graph speculative quantum: R propose/verify/accept rounds run inside
+    # ONE jit per engine step (proposals come from an on-device token-history
+    # buffer, acceptance is computed in-graph) and the emitted tokens sync to
+    # host once. This is what lets speculative decoding compose with the
+    # decode quantum — the host-driven spec path (spec_quantum=0) pays a full
+    # host round trip per verify round. Greedy outputs stay token-exact.
+    spec_quantum: int = 0
 
 
 @dataclasses.dataclass
@@ -211,6 +218,20 @@ class Engine:
                 "sampling uses the plain step or serve/speculative.py"
             )
             self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(1,))
+            if ecfg.spec_quantum > 0:
+                # device-side token history (text prompt + emitted tokens) for
+                # in-graph prompt-lookup proposals; one row per slot
+                self.hist = jnp.zeros((B, S), jnp.int32)
+                self.hist_len = jnp.zeros((B,), jnp.int32)
+                self._spec_qstep = jax.jit(
+                    self._spec_quantum_impl, donate_argnums=(1, 5)
+                )
+                self._hist_fill = jax.jit(
+                    lambda h, hl, slot, row, n: (
+                        h.at[slot].set(row), hl.at[slot].set(n)
+                    ),
+                    donate_argnums=(0,),
+                )
         self.stats = {"steps": 0, "decoded_tokens": 0, "slot_steps": 0,
                       "prefills": 0, "spec_proposed": 0, "spec_accepted": 0}
 
@@ -481,6 +502,96 @@ class Engine:
         argmax = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
         return argmax, tuple(out["cache"])
 
+    def _spec_quantum_impl(self, params, cache_arrays, tokens, lengths,
+                           kv_starts, hist, hist_len):
+        """spec_quantum in-graph speculative rounds in ONE jit: per-slot
+        prompt-lookup proposals over the device history buffer, a batched
+        (B, k+1) verify forward, in-graph greedy acceptance, and history /
+        length advance — the host syncs the emitted tokens once per quantum.
+        Greedy-exact: emitted tokens are exactly the target's greedy chain
+        (drafts only change how many land per weight read)."""
+        cfg = self.cfg
+        k = self.ecfg.spec_k
+        n = self.ecfg.spec_ngram
+        H = hist.shape[1]
+
+        def propose(row, hlen):
+            """Most recent earlier occurrence of the last m-gram (m = n..1,
+            ngram_propose semantics); returns a (k,) draft, -1-padded when
+            nothing matches (a -1 draft can never equal a real argmax)."""
+            idx = jnp.arange(H)
+            best = jnp.int32(-1)
+            mstar = jnp.int32(0)
+            for m in range(n, 0, -1):  # static unroll over suffix lengths
+                win = row[(idx[:, None] + jnp.arange(m)[None, :]) % H]
+                suffix = jax.lax.dynamic_slice(
+                    row, (jnp.maximum(hlen - m, 0),), (m,)
+                )
+                ok = (
+                    jnp.all(win == suffix[None, :], axis=1)
+                    & (idx < hlen - m)          # strictly earlier occurrence
+                    & (hlen >= m + 1)
+                )
+                b_m = jnp.max(jnp.where(ok, idx, -1))
+                take = (best < 0) & (b_m >= 0)
+                mstar = jnp.where(take, m, mstar)
+                best = jnp.where(take, b_m, best)
+            start = jnp.maximum(best + mstar, 0)
+            draft = jax.lax.dynamic_slice(row, (start,), (k,))
+            # positions past hist_len hold stale tokens: mask them out too
+            valid = (best >= 0) & (start + jnp.arange(k) < hlen)
+            return jnp.where(valid, draft, -1)
+
+        def round_body(carry, _):
+            arrays, toks, lens, h, hl = carry
+            drafts = jax.vmap(propose)(h, hl)                    # (B, k)
+            chunk = jnp.concatenate([toks[:, None], drafts], axis=1)
+            cache = self._cache_cls(*arrays)
+            emb = dec.embed_tokens(params["decoder"], jnp.maximum(chunk, 0))
+            positions = (lens - kv_starts)[:, None] + jnp.arange(k + 1)[None, :]
+            out = dec.decoder_forward(
+                params["decoder"], cfg.decoder, emb,
+                positions=positions,
+                kv_lengths=lens + k + 1,
+                kv_starts=kv_starts,
+                cache=cache,
+                q_offset=lens,
+                tap_layers=(),
+            )
+            am = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+            acc = jnp.cumprod(
+                (drafts == am[:, :-1]).astype(jnp.int32), axis=1
+            )                                                    # (B, k)
+            n_acc = jnp.sum(acc, axis=1)                         # (B,)
+            jidx = jnp.arange(k + 1)[None, :]
+            bonus = jnp.take_along_axis(am, n_acc[:, None], axis=1)
+            drafts_p = jnp.concatenate(
+                [drafts, jnp.full((drafts.shape[0], 1), -1, jnp.int32)], axis=1
+            )
+            emitted = jnp.where(
+                jidx < n_acc[:, None], drafts_p,
+                jnp.where(jidx == n_acc[:, None], bonus, -1),
+            )                                                    # (B, k+1)
+            n_emit = n_acc + 1
+            # rejected KV slots stay masked by per-slot lengths and are
+            # overwritten by the next (monotonically advancing) chunk write
+            new_lens = jnp.minimum(lens + n_emit, self.ecfg.max_len)
+            h = jax.vmap(
+                lambda r, l, e: jax.lax.dynamic_update_slice(r, e, (l,))
+            )(h, hl, emitted)
+            new_hl = hl + n_emit
+            n_prop = jnp.sum(drafts >= 0, axis=1)
+            return (tuple(out["cache"]), bonus[:, 0], new_lens, h, new_hl), (
+                emitted, n_emit, n_prop
+            )
+
+        carry = (cache_arrays, tokens, lengths, hist, hist_len)
+        carry, (emitted, n_emit, n_prop) = jax.lax.scan(
+            round_body, carry, None, length=self.ecfg.spec_quantum
+        )
+        arrays, tokens, lengths, hist, hist_len = carry
+        return (emitted, n_emit, n_prop), arrays, tokens, lengths, hist, hist_len
+
     # ------------------------------------------------------------- host logic
 
     def submit(self, req: Request) -> None:
@@ -597,6 +708,15 @@ class Engine:
             self.tokens_host[slot] = int(first)   # one sync per admission
             if self.ecfg.spec_k:
                 req._history.extend(self._plan_text_ids(plan))
+            if self.ecfg.spec_k and self.ecfg.spec_quantum > 0:
+                # device history row: prompt text ids + the first token
+                ids = self._plan_text_ids(plan) + [int(first)]
+                row = np.full((self.ecfg.max_len,), -1, np.int32)
+                row[: len(ids)] = ids
+                self.hist, self.hist_len = self._hist_fill(
+                    self.hist, self.hist_len, jnp.int32(slot),
+                    jnp.asarray(row), jnp.int32(len(ids)),
+                )
             self._absorb(slot, int(self.tokens_host[slot]))
             self._pending_first[slot] = False
         else:
@@ -686,6 +806,13 @@ class Engine:
         self._admit()
         if not any(r is not None for r in self.slot_req):
             return
+        if self.ecfg.spec_k and self.ecfg.spec_quantum > 0 and (
+            self._spec_capacity_ok(
+                margin=self.ecfg.spec_quantum * (self.ecfg.spec_k + 1)
+            )
+        ):
+            self._spec_quantum_step()
+            return
         if self.ecfg.spec_k and self._spec_capacity_ok():
             self._spec_decode_step()
             return
@@ -737,18 +864,57 @@ class Engine:
                     # clamped KV writes land outside the harvest range)
                     break
 
-    def _spec_capacity_ok(self) -> bool:
+    def _spec_capacity_ok(self, margin: Optional[int] = None) -> bool:
         """A verify chunk writes spec_k+1 KV slots per ACTIVE slot; near the
         cache end (or max_new_tokens) fall back to the plain 1-token step so
         the chunk's dynamic-update-slice can never clamp backwards and
         overwrite valid slots."""
-        k1 = self.ecfg.spec_k + 1
+        k1 = margin if margin is not None else self.ecfg.spec_k + 1
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
             if int(self.lengths_host[slot]) + k1 > self.ecfg.max_len:
                 return False
         return True
+
+    def _spec_quantum_step(self) -> None:
+        """Run spec_quantum in-graph speculative rounds, then absorb all
+        emitted tokens from ONE host sync."""
+        R = self.ecfg.spec_quantum
+        ((emitted, n_emit, n_prop), arrays, self.tokens, self.lengths,
+         self.hist, self.hist_len) = self._spec_qstep(
+            self.params, tuple(self.cache), self.tokens, self.lengths,
+            self.kv_starts, self.hist, self.hist_len,
+        )
+        self.cache = self._cache_cls(*arrays)
+        em, ne, npp = jax.device_get((emitted, n_emit, n_prop))  # one sync
+        cur = self.lengths_host.astype(np.int64).copy()
+        self.stats["steps"] += 1
+        active0 = [r is not None for r in self.slot_req]
+        for r in range(R):
+            for slot in range(self.ecfg.num_slots):
+                req = self.slot_req[slot]
+                cnt = int(ne[r, slot])
+                if req is not None:
+                    if active0[slot]:
+                        self.stats["spec_proposed"] += int(npp[r, slot])
+                        self.stats["spec_accepted"] += cnt - 1
+                    for j in range(cnt):
+                        self.stats["slot_steps"] += 1
+                        self._absorb(
+                            slot, int(em[r, slot, j]),
+                            slot_len=int(min(cur[slot] + j + 1,
+                                             self.ecfg.max_len)),
+                        )
+                        if self.slot_req[slot] is None:
+                            break
+                # device advanced EVERY slot (active or not): mirror it
+                cur[slot] = min(cur[slot] + cnt, self.ecfg.max_len)
+        self.lengths_host = cur
+        self.tokens_host = np.array(
+            [em[-1, s, max(int(ne[-1, s]) - 1, 0)] for s
+             in range(self.ecfg.num_slots)], np.int32,
+        )
 
     def _spec_decode_step(self) -> None:
         """One speculative engine step: host n-gram proposals per slot, one
