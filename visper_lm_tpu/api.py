@@ -534,6 +534,9 @@ class VisperModel:
         cache_len: Optional[int] = None,
         kv_quant: Optional[bool] = None,
         weight_quant: Optional[bool] = None,
+        decode_quantum: int = 8,
+        spec_k: int = 0,
+        spec_quantum: int = 4,
     ) -> List[str]:
         """Continuous-batching VQA (serve/engine.py): answers in question order.
 
@@ -609,6 +612,12 @@ class VisperModel:
         eng = Engine(params, self.cfg, EngineConfig(
             num_slots=n_slots, max_len=cache_len, temperature=temperature,
             kv_quant=kvq, weight_quant=False,
+            # host-round-trip schedulers (BASELINE.md "Serving engine under
+            # link latency"): N decode tokens per sync; optional greedy
+            # speculative rounds fully in-graph
+            decode_quantum=decode_quantum,
+            spec_k=spec_k if temperature == 0.0 else 0,
+            spec_quantum=spec_quantum if temperature == 0.0 else 0,
         ), tokenizer=self.tokenizer)
         finished = eng.run(reqs)
         texts = eng.decode_texts(finished)
