@@ -761,3 +761,63 @@ def test_stvqa_submission_task(tmp_path):
     # prompt parity: the fork's default post_prompt
     assert task.doc_to_text(docs[0]).endswith(
         "Answer the question using a single word or phrase.")
+
+
+@pytest.mark.skipif(lmms_eval is None, reason="reference lmms-eval not importable")
+def test_websrc_f1_parity():
+    """WebSRC's squad-style F1 is SET-based over regex tokens with isolated
+    punctuation; pin scorer + domain-weighted aggregation against the fork."""
+    ref = load_task_utils("websrc")
+    cases = [
+        ("The Answer", "the answer"),
+        ("JB Hi-Fi store", "jb hi-fi"),
+        ("42", "42."),
+        ("open 9am", "closed"),
+        ("", "anything"),
+        ("word word word", "word"),
+    ]
+    for ans, pred in cases:
+        _, m = ref.evaluate_websrc(
+            [{"answer": ans, "parsed_pred": pred}]
+        )
+        assert lt.websrc_f1(ans, pred) == pytest.approx(m["f1"]), (ans, pred)
+
+    samples = [
+        {"answer": "a b", "parsed_pred": "a b", "domain": "auto"},
+        {"answer": "a b", "parsed_pred": "a", "domain": "auto"},
+        {"answer": "x", "parsed_pred": "y", "domain": "book"},
+    ]
+    theirs = ref.websrc_aggregate_results(
+        [{"answer": s["answer"], "parsed_pred": s["parsed_pred"],
+          "domain": s["domain"]} for s in samples]
+    )
+    ours = lt.websrc_aggregate(
+        [{"f1": lt.websrc_f1(s["answer"], s["parsed_pred"]),
+          "domain": s["domain"]} for s in samples]
+    )
+    assert ours == pytest.approx(theirs)
+
+
+@pytest.mark.skipif(lmms_eval is None, reason="reference lmms-eval not importable")
+def test_iconqa_prompt_parity():
+    """IconQA's three question-type prompts must match the fork's doc_to_text
+    with the default model_specific_prompt_kwargs."""
+    ref = load_task_utils("iconqa")
+    kwargs = {
+        "pre_prompt": "",
+        "statement": "Given a set of images and a question, please provide "
+        "the answer to the question.\n",
+        "options_statement": "Question: {question}.\nOptions:\n{options}\n"
+        "Please answer with the option letter from the given choices "
+        "directly.",
+        "freeform_statement": "Question: {question}.\nPlease answer the "
+        "question using a single word or phrase.",
+    }
+    docs = [
+        {"question": "which is bigger", "ques_type": "choose_img"},
+        {"question": "what shape", "ques_type": "choose_txt",
+         "choices": "circle,square,star"},
+        {"question": "how many dots", "ques_type": "fill_in_blank"},
+    ]
+    for d in docs:
+        assert lt.iconqa_doc_to_text(d) == ref.doc_to_text(d, kwargs), d

@@ -729,6 +729,8 @@ def task_builders() -> Dict[str, Any]:
         "mmbench_en_dev": mmbench_task,
         "multidocvqa_val": multidocvqa_task,
         "stvqa": stvqa_task,
+        "iconqa_val": iconqa_task,
+        "websrc_val": websrc_task,
     }
 
 
@@ -987,4 +989,113 @@ def stvqa_task(docs: Sequence[dict], submission_path: Optional[str] = None) -> T
         generation_kwargs={"max_new_tokens": 32, "temperature": 0,
                            "do_sample": False},
         metric_aggregation={"submission": aggregate},
+    )
+
+
+# ---------------------------------------------------------------- IconQA
+
+
+def iconqa_doc_to_text(doc: dict) -> str:
+    """tasks/iconqa/utils.py doc_to_text with the default prompt kwargs:
+    three question types — choose_img (two image options), choose_txt
+    (comma-split choices as lettered options), fill_in_blank (freeform)."""
+    q = doc["question"]
+    statement = ("Given a set of images and a question, please provide the "
+                 "answer to the question.\n")
+    if doc["ques_type"] == "fill_in_blank":
+        return (f"{statement}Question: {q}.\nPlease answer the question "
+                "using a single word or phrase.")
+    if doc["ques_type"] == "choose_img":
+        options = ["The first image.", "The second image."]
+    else:  # choose_txt
+        options = doc["choices"].split(",")
+    opt = "\n".join(f"{chr(ord('A') + i)}. {o}" for i, o in enumerate(options))
+    return (f"{statement}Question: {q}.\nOptions:\n{opt}\nPlease answer with "
+            "the option letter from the given choices directly.")
+
+
+def iconqa_doc_to_visual(doc: dict) -> List[Any]:
+    out = []
+    if doc.get("query_image") is not None:
+        out.append(doc["query_image"])
+    for i in range(5):
+        im = doc.get(f"choice_image_{i}")
+        if im is not None:
+            out.append(im)
+    return out
+
+
+def iconqa_task(docs: Sequence[dict]) -> TaskConfig:
+    """iconqa_val: ANLS vs doc['answer'] (the template reuses the DocVQA
+    metric, tasks/iconqa/_default_template_docvqa_yaml)."""
+    return TaskConfig(
+        name="iconqa_val",
+        docs=docs,
+        doc_to_visual=iconqa_doc_to_visual,
+        doc_to_text=iconqa_doc_to_text,
+        process_results=lambda d, r: {"anls": anls_score([d["answer"]], r[0])},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        split="val",
+    )
+
+
+# ---------------------------------------------------------------- WebSRC
+
+
+def websrc_f1(answer: str, pred: str) -> float:
+    """tasks/websrc/utils.py _compute_f1: SET-based token F1 over lowercased,
+    regex-tokenized (words + isolated punctuation) strings."""
+    import re as _re
+
+    def toks(s: str):
+        return set(_re.findall(r"\w+|[^\w\s]", s.lower().strip()))
+
+    sa, sb = toks(answer), toks(pred)
+    if not sa or not sb:
+        return 0.0
+    comm = sa & sb
+    prec, rec = len(comm) / len(sb), len(comm) / len(sa)
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def websrc_aggregate(records: List[dict]) -> float:
+    """Per-domain mean F1, then example-weighted overall — the fork weights
+    the UNROUNDED domain means and rounds only the final figure
+    (tasks/websrc/utils.py websrc_aggregate_results)."""
+    from collections import defaultdict
+
+    by_domain: Dict[str, List[float]] = defaultdict(list)
+    for r in records:
+        by_domain[r["domain"]].append(r["f1"])
+    total = sum(len(v) for v in by_domain.values())
+    overall = sum(
+        (sum(v) / len(v)) * len(v) for v in by_domain.values()
+    ) / max(total, 1)
+    return round(overall, 3)
+
+
+def websrc_task(docs: Sequence[dict]) -> TaskConfig:
+    """websrc_val: squad-style token-set F1 with a domain rollup
+    (tasks/websrc/websrc_val.yaml). docs carry a decoded PIL `image` (the HF
+    split stores base64; decode upstream), question, answer, domain."""
+    def process(doc: dict, results: List[str]) -> Dict[str, Any]:
+        return {"websrc_squad_f1": {
+            "f1": websrc_f1(doc["answer"], results[0]),
+            "domain": doc["domain"],
+        }}
+
+    return TaskConfig(
+        name="websrc_val",
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: (
+            "Answer the question using a single word or phrase.\n"
+            + d["question"]
+        ),
+        process_results=process,
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={"websrc_squad_f1": websrc_aggregate},
+        split="val",
     )
