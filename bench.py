@@ -172,6 +172,7 @@ def measure(args, batch_size: int):
             remat_policy=args.remat_policy,
             teacher_fn=teacher_fn, teacher_params=teacher_params,
             offload_opt_state=args.offload_opt,
+            stream_grads=args.stream_grads,
         )
         # the TrainState holds its own copy of the trainables; drop the
         # caller copy — at IFT scale (3.8B full-trainable on one 16 GB chip)
@@ -232,6 +233,12 @@ def main():
                         "through the tower (the config-#3 tile fan-out)")
     parser.add_argument("--master-weights", action="store_true",
                         help="f32 master weights in the optimizer")
+    parser.add_argument("--stream-grads", type=int, default=0,
+                        help="N>0: gradient-streaming layout — decoder blocks "
+                        "split into N layer sub-stacks whose dW is emitted to "
+                        "pinned host by the backward (single-chip full-model "
+                        "IFT: params+grads never coexist in HBM); requires "
+                        "--offload-opt")
     parser.add_argument("--offload-opt", action="store_true",
                         help="pinned-host AdamW moments with the blockwise "
                         "streamed update (train/staged_update.py) — required "

@@ -86,7 +86,7 @@ def _run_both(cfg, dtype, steps=3, chunk=False):
         g = _grads(trainable, seed=10 + i)
         updates, st_ref = tx.update(g, st_ref, p_ref)
         p_ref = optax.apply_updates(p_ref, updates)
-        p_blk, st_blk = blockwise_staged_update(g, st_blk, p_blk, cfg)
+        p_blk, st_blk, _ = blockwise_staged_update(g, st_blk, p_blk, cfg)
     if chunk:
         from visper_lm_tpu.train.staged_update import unchunk_state
 
@@ -150,7 +150,8 @@ def test_blockwise_under_jit_with_donation():
         lambda gr, s, p: blockwise_staged_update(gr, s, p, cfg),
         donate_argnums=(1, 2),
     )
-    p2, st2 = fn(g, st, trainable)
+    p2, st2, gnorm = fn(g, st, trainable)
+    assert float(gnorm) > 0
 
     updates, st_ref = tx.update(g, tx.init(_trainable(_params(jnp.float32), cfg)),
                                 _trainable(_params(jnp.float32), cfg))
@@ -260,3 +261,71 @@ def test_chunked_state_orbax_roundtrip(tmp_path):
     _assert_tree_close(unchunk_state(state.opt_state),
                        unchunk_state(restored.opt_state), rtol=0, atol=0)
     _assert_tree_close(state.params, restored.params, rtol=0, atol=0)
+
+
+def test_stream_grads_step_matches_plain():
+    """Gradient-streaming layout (decoder blocks as layer sub-stacks +
+    host_grad_segment backward): the full train step must produce the SAME
+    loss trajectory and parameters as the plain stacked layout. On CPU the
+    host-put is a no-op, so this pins the segmentation/custom_vjp math."""
+    import numpy as np
+
+    from visper_lm_tpu.config import tiny_test_vlm
+    from visper_lm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan, collate_plans
+    from visper_lm_tpu.models.decoder import unchunk_blocks
+    from visper_lm_tpu.models.vlm import init_vlm
+    from visper_lm_tpu.parallel.mesh import make_mesh
+    from visper_lm_tpu.train.train_step import make_train_step, shard_batch
+
+    cfg = tiny_test_vlm(distill=False)
+    rng = np.random.default_rng(0)
+    plans = []
+    for _ in range(2):
+        ids = list(rng.integers(3, cfg.decoder.vocab_size - 10, size=8)) + [
+            IMAGE_TOKEN_INDEX
+        ] + list(rng.integers(3, cfg.decoder.vocab_size - 10, size=20))
+        labels = [IGNORE_INDEX] * 9 + ids[9:]
+        plans.append(build_splice_plan(
+            ids, labels, 48, num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=0, num_tasks=0,
+        ))
+    batch = collate_plans(
+        plans,
+        images=rng.normal(
+            size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32),
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    ocfg = OptimizerConfig(learning_rate=1e-3, total_steps=100, stage="finetune")
+
+    results = {}
+    for sg in (0, 3):
+        p = jax.tree_util.tree_map(lambda x: x.copy(), params)
+        with mesh:
+            step, state, _ = make_train_step(
+                cfg, ocfg, p, mesh, use_pallas=False, stream_grads=sg,
+            )
+            db = shard_batch(batch, mesh)
+            losses = []
+            for _ in range(3):
+                state, m = step(state, db)
+                losses.append(float(m["loss"]))
+        dec = state.params["decoder"]
+        blocks = (
+            unchunk_blocks([dec["blocks_chunks"][str(i)] for i in range(sg)])
+            if sg else dec["blocks"]
+        )
+        results[sg] = (losses, blocks)
+
+    l0, b0 = results[0]
+    l3, b3 = results[3]
+    np.testing.assert_allclose(l0, l3, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(b0), jax.tree_util.tree_leaves(b3)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-6,
+        )

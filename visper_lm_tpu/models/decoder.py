@@ -170,6 +170,69 @@ def init_decoder(key: jax.Array, cfg: DecoderConfig) -> Params:
     return params
 
 
+def chunk_blocks(blocks: Params, n_chunks: int) -> Tuple[Params, ...]:
+    """Split a stacked (L, ...) block tree into n contiguous layer sub-stacks
+    (the gradient-streaming training layout: each segment's dW is a SEPARATE
+    leaf, so the backward can emit it to pinned host and free its HBM before
+    the next segment's backward runs — stacked dW leaves are emitted whole by
+    the scan transpose and would all coexist)."""
+    L = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    n_chunks = max(1, min(n_chunks, L))
+    rows = [(i * L // n_chunks, (i + 1) * L // n_chunks) for i in range(n_chunks)]
+    return tuple(
+        jax.tree_util.tree_map(lambda x: x[s:e], blocks) for s, e in rows
+    )
+
+
+def unchunk_blocks(chunks: Sequence[Params]) -> Params:
+    """Inverse of chunk_blocks (checkpoint export / HF interop)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+    )
+
+
+def _grads_to_pinned_host(tree):
+    """Move a cotangent tree to pinned host memory when the ambient mesh is a
+    single device (multi-chip SPMD cannot partition replicated memory-space
+    annotations; ZeRO sharding already bounds per-chip grads there). No-op
+    without a usable pinned_host space (CPU tests)."""
+    from visper_lm_tpu.ops.attention import _ambient_mesh
+
+    mesh = _ambient_mesh()
+    if mesh is None or mesh.devices.size != 1:
+        return tree
+    dev = mesh.devices.flat[0]
+    if getattr(dev, "platform", None) != "tpu":
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ns = NamedSharding(mesh, PartitionSpec(), memory_kind="pinned_host")
+    return jax.tree_util.tree_map(lambda g: jax.device_put(g, ns), tree)
+
+
+def host_grad_segment(fn):
+    """Wrap fn(sub_params, carry) -> carry so the backward emits d(sub_params)
+    into pinned host memory the moment it is computed, instead of letting all
+    segments' dW coexist in HBM until the optimizer update (train/
+    staged_update.py stages host grads back block-by-block)."""
+
+    @jax.custom_vjp
+    def wrapped(sub_params, carry):
+        return fn(sub_params, carry)
+
+    def fwd(sub_params, carry):
+        return fn(sub_params, carry), (sub_params, carry)
+
+    def bwd(res, ct):
+        sub_params, carry = res
+        _, vjp = jax.vjp(fn, sub_params, carry)
+        dparams, dcarry = vjp(ct)
+        return _grads_to_pinned_host(dparams), dcarry
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
 def _lora_linear(block: Params, name: str, x: jax.Array) -> jax.Array:
     """linear() plus the low-rank LoRA side path y = xW + (xA)B_scaled.
 
@@ -608,14 +671,35 @@ def decoder_forward(
         taps = tuple(by_layer[l] for l in tap_layers)
     else:
         aux_acc = _aux_zero()
-        h = None if moe_on else _maybe_pipelined_stack(
-            params, cfg, inputs_embeds, cos, sin, kv_lengths, kv_starts,
-            q_offset, use_pallas, quant_saves, remat, remat_policy,
-        )
-        if h is None:
-            (h, aux_acc), _ = jax.lax.scan(
-                body, (inputs_embeds, aux_acc), params["blocks"]
+        chunks = params.get("blocks_chunks")
+        if chunks is not None:
+            # gradient-streaming layout: sequential segment scans over layer
+            # sub-stacks; each segment's backward host-offloads its own dW
+            assert cache is None and not moe_on, (
+                "blocks_chunks is a training-only layout (no cache/MoE)"
             )
+
+            def seg_fn(sub, carry):
+                return jax.lax.scan(body, carry, sub)[0]
+
+            seg = host_grad_segment(seg_fn)
+            carry = (inputs_embeds, aux_acc)
+            subs = (
+                [chunks[k] for k in sorted(chunks, key=int)]
+                if isinstance(chunks, dict) else list(chunks)
+            )
+            for sub in subs:
+                carry = seg(sub, carry)
+            h, aux_acc = carry
+        else:
+            h = None if moe_on else _maybe_pipelined_stack(
+                params, cfg, inputs_embeds, cos, sin, kv_lengths, kv_starts,
+                q_offset, use_pallas, quant_saves, remat, remat_policy,
+            )
+            if h is None:
+                (h, aux_acc), _ = jax.lax.scan(
+                    body, (inputs_embeds, aux_acc), params["blocks"]
+                )
         taps = None
 
     hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)

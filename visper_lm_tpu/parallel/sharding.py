@@ -34,10 +34,10 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"decoder/embed_tokens/embedding$", P(MODEL_AXIS, None)),
     (r"decoder/lm_head/kernel$", P(None, MODEL_AXIS)),
     # stacked decoder blocks: (L, in, out) kernels
-    (r"decoder/blocks/(q_proj|k_proj|v_proj)/kernel$", P(None, None, MODEL_AXIS)),
-    (r"decoder/blocks/o_proj/kernel$", P(None, MODEL_AXIS, None)),
-    (r"decoder/blocks/(gate_proj|up_proj)/kernel$", P(None, None, MODEL_AXIS)),
-    (r"decoder/blocks/down_proj/kernel$", P(None, MODEL_AXIS, None)),
+    (r"decoder/blocks(?:_chunks/\d+)?/(q_proj|k_proj|v_proj)/kernel$", P(None, None, MODEL_AXIS)),
+    (r"decoder/blocks(?:_chunks/\d+)?/o_proj/kernel$", P(None, MODEL_AXIS, None)),
+    (r"decoder/blocks(?:_chunks/\d+)?/(gate_proj|up_proj)/kernel$", P(None, None, MODEL_AXIS)),
+    (r"decoder/blocks(?:_chunks/\d+)?/down_proj/kernel$", P(None, MODEL_AXIS, None)),
     # MoE expert banks (L, E, din, dout): experts over 'expert' (matches the
     # in-graph constraints ops/moe.py applies); router is tiny, replicated
     (

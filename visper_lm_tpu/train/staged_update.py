@@ -313,11 +313,16 @@ def blockwise_staged_update(
     *,
     opt_shardings=None,
     opt_to_device=None,
+    grads_on_host: bool = False,
 ):
     """Drop-in replacement for `tx.update(...) + optax.apply_updates(...)`
     (tx = train.optimizer.make_optimizer(params, cfg)) that streams offloaded
     moments through HBM one block at a time. Handles plain, pinned-host, and
-    ChunkedHostArray moment leaves. Returns (new_params, new_opt)."""
+    ChunkedHostArray moment leaves. grads_on_host: grad leaves live in
+    pinned host memory (the gradient-streaming backward,
+    models/decoder.host_grad_segment - single-chip only) and are staged to
+    device behind the same token chain as the moments. Returns
+    (new_params, new_opt, grad_norm)."""
     labels = lr_group_labels(params, cfg, cfg.stage)
     decay = _decay_mask(params)
     p_flat = _flat_with_keys(params)
@@ -327,6 +332,7 @@ def blockwise_staged_update(
     new_params_flat: Dict[str, Any] = dict(p_flat)  # frozen leaves unchanged
     new_inner: Dict[str, Any] = {}
     token = jnp.zeros((), jnp.int32)
+    total_gsq = jnp.float32(0.0)
 
     for label, mstate in opt_state.inner_states.items():
         unpacked = _label_state(mstate)
@@ -339,22 +345,42 @@ def blockwise_staged_update(
         ms_flat = _flat_with_keys(master) if master is not None else {}
         keys = list(mu_flat.keys())
 
+        dev_any = None
+        if grads_on_host and opt_to_device is not None:
+            st = _label_state(opt_to_device.inner_states[label])
+            if st is not None:
+                for v in _flat_with_keys(st[0].mu).values():
+                    ns = v.chunks[0] if _is_chunked(v) else v
+                    if ns is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        dev_any = NamedSharding(ns.mesh, PartitionSpec())
+                        break
+
+        def _g_to_dev(g, tok):
+            # stage one host grad leaf to device behind the token chain
+            if dev_any is None:
+                return g, tok
+            tok, staged = _barrier(tok, [g])
+            return jax.device_put(staged[0], dev_any), tok
+
         # per-label global-norm clip (multi_transform masks each label's
         # chain, so clip_by_global_norm sees only that label's grads).
         # computed up front from the full grads — by dataflow this runs
         # before any update block, so grad leaves can free as blocks consume
-        # them.
+        # them. Host-resident grads stage in one leaf at a time (token chain)
+        # so the norm pass never holds more than one leaf in HBM.
         if keys:
-            gn = jnp.sqrt(
-                sum(
-                    jnp.sum(jnp.square(g_flat[k].astype(jnp.float32)))
-                    for k in keys
-                )
-            )
+            gsq = jnp.float32(0.0)
+            for k in keys:
+                gd, token = _g_to_dev(g_flat[k], token)
+                gsq = gsq + jnp.sum(jnp.square(gd.astype(jnp.float32)))
+            gn = jnp.sqrt(gsq)
             clip_scale = jnp.minimum(
                 1.0, cfg.max_grad_norm / jnp.maximum(gn, 1e-16)
             )
         else:
+            gn = jnp.float32(0.0)
             clip_scale = jnp.float32(1.0)
 
         c_inc = adam.count + 1
@@ -384,6 +410,9 @@ def blockwise_staged_update(
             dec = bool(decay_flat[k])
             kw = dict(cfg=cfg, clip_scale=clip_scale, lr=lr, c_inc=c_inc,
                       decay=dec)
+
+            if grads_on_host:
+                g, token = _g_to_dev(g, token)
 
             if _is_chunked(mu):
                 def _chunk_ns(table, attr, idx):
@@ -469,10 +498,11 @@ def blockwise_staged_update(
             _rebuild_tree(master, new_ms_flat) if master is not None else None
         )
         new_inner[label] = _rebuild_label(mstate, new_adam, new_sched, new_master)
+        total_gsq = total_gsq + jnp.square(gn)
 
     new_opt = type(opt_state)(inner_states=new_inner)
     new_params = _rebuild_tree(params, new_params_flat)
-    return new_params, new_opt
+    return new_params, new_opt, jnp.sqrt(total_gsq)
 
 
 def chunk_state_like(opt_state, opt_shape):

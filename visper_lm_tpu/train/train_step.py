@@ -236,6 +236,7 @@ def make_step_fn(
     tx, base_loss_fn, opt_shardings, accum_steps: int = 1,
     opt_cfg: Optional[OptimizerConfig] = None,
     blockwise_staging: bool = True,
+    grads_on_host: bool = False,
 ):
     """The pure train-step body: grads -> (pinned-host moment staging) ->
     tx.update -> new TrainState. Shared by make_train_step (live training) and
@@ -304,18 +305,20 @@ def make_step_fn(
             metrics, grads = accum_grads(state.params, frozen_params, tp, batch)
         else:
             (_, metrics), grads = grad_fn(state.params, frozen_params, tp, batch)
-        # grad_norm BEFORE the update: by dataflow the norm reduction then
-        # precedes every update block, so each grad leaf's buffer frees as
-        # soon as its own update consumes it (matters at full-model scale)
-        metrics["grad_norm"] = optax.global_norm(grads)
         if use_blockwise:
             from visper_lm_tpu.train.staged_update import blockwise_staged_update
 
-            new_params, new_opt = blockwise_staged_update(
+            # the blockwise update computes the norm itself (host-resident
+            # grads must stage in behind the token chain; a naive
+            # global_norm over host arrays is mixed-space math)
+            new_params, new_opt, gnorm = blockwise_staged_update(
                 grads, state.opt_state, state.params, opt_cfg,
                 opt_shardings=opt_shardings, opt_to_device=opt_to_device,
+                grads_on_host=grads_on_host,
             )
+            metrics["grad_norm"] = gnorm
         else:
+            metrics["grad_norm"] = optax.global_norm(grads)
             opt_state = state.opt_state
             if opt_to_device is not None:
                 opt_state = jax.device_put(opt_state, opt_to_device)
@@ -346,6 +349,7 @@ def make_train_step(
     shard_teachers: bool = False,
     accum_steps: int = 1,
     blockwise_staging: bool = True,
+    stream_grads: int = 0,
 ) -> Tuple[Callable, TrainState, Any]:
     """Build (jitted_step, initial sharded TrainState, state shardings).
 
@@ -355,6 +359,22 @@ def make_train_step(
     requires_grad_(False) under ZeRO. The returned step signature is
     step(state, frozen_params, batch) -> (state, metrics); state is donated.
     """
+    if stream_grads:
+        # gradient-streaming layout: decoder blocks become stream_grads layer
+        # sub-stacks whose per-segment dW is host-offloaded by the backward
+        # (models/decoder.chunk_blocks + host_grad_segment). Full-model
+        # stages only — a frozen decoder has no dW to stream.
+        from visper_lm_tpu.models.decoder import chunk_blocks
+
+        dec_params = dict(params["decoder"])
+        dec_params["blocks_chunks"] = {
+            str(i): c for i, c in enumerate(
+                chunk_blocks(dec_params.pop("blocks"), stream_grads)
+            )
+        }
+        params = dict(params)
+        params["decoder"] = dec_params
+
     (
         mask, tx, trainable, frozen, opt_shape,
         train_shardings, frozen_shardings, opt_shardings, state_shardings,
@@ -414,9 +434,16 @@ def make_train_step(
 
     # teacher params are explicit jit args (NOT closures): closed-over arrays can be
     # inlined into the serialized HLO, which explodes compile payloads/times.
+    assert not (stream_grads and accum_steps > 1), (
+        "gradient streaming composes with single-microbatch steps only "
+        "(the f32 accumulator would re-materialize the full grad tree)"
+    )
     step_fn = make_step_fn(
         tx, base_loss_fn, opt_shardings, accum_steps=accum_steps,
         opt_cfg=opt_cfg, blockwise_staging=blockwise_staging,
+        grads_on_host=bool(stream_grads)
+        and mesh.devices.size == 1
+        and mesh.devices.flat[0].platform == "tpu",
     )
 
     jitted = jax.jit(
