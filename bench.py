@@ -147,6 +147,19 @@ def measure(args, batch_size: int):
     with_teachers = cfg.distill is not None and not (args.smoke or args.no_teachers)
 
     params = init_vlm(jax.random.PRNGKey(0), cfg)
+    if args.stream_grads:
+        # pre-chunk here and DROP the stacked blocks: at 3.8B on one chip the
+        # two layouts cannot coexist with everything else
+        from visper_lm_tpu.models.decoder import chunk_blocks
+
+        dec = dict(params["decoder"])
+        dec["blocks_chunks"] = {
+            str(i): c
+            for i, c in enumerate(chunk_blocks(dec.pop("blocks"),
+                                               args.stream_grads))
+        }
+        params = dict(params, decoder=dec)
+        del dec
     batch = build_batch(cfg, batch_size, seq_len, anyres_tiles=args.anyres_tiles)
     teacher_fn = teacher_params = None
     if with_teachers:
@@ -173,6 +186,7 @@ def measure(args, batch_size: int):
             teacher_fn=teacher_fn, teacher_params=teacher_params,
             offload_opt_state=args.offload_opt,
             stream_grads=args.stream_grads,
+            donate_params=bool(args.stream_grads),
         )
         # the TrainState holds its own copy of the trainables; drop the
         # caller copy — at IFT scale (3.8B full-trainable on one 16 GB chip)

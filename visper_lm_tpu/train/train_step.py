@@ -350,6 +350,7 @@ def make_train_step(
     accum_steps: int = 1,
     blockwise_staging: bool = True,
     stream_grads: int = 0,
+    donate_params: bool = False,
 ) -> Tuple[Callable, TrainState, Any]:
     """Build (jitted_step, initial sharded TrainState, state shardings).
 
@@ -359,11 +360,13 @@ def make_train_step(
     requires_grad_(False) under ZeRO. The returned step signature is
     step(state, frozen_params, batch) -> (state, metrics); state is donated.
     """
-    if stream_grads:
+    if stream_grads and "blocks_chunks" not in params.get("decoder", {}):
         # gradient-streaming layout: decoder blocks become stream_grads layer
         # sub-stacks whose per-segment dW is host-offloaded by the backward
         # (models/decoder.chunk_blocks + host_grad_segment). Full-model
-        # stages only — a frozen decoder has no dW to stream.
+        # stages only — a frozen decoder has no dW to stream. NOTE: at
+        # single-chip 3.8B scale the caller should pre-chunk and DROP the
+        # stacked tree itself (both layouts coexist transiently here).
         from visper_lm_tpu.models.decoder import chunk_blocks
 
         dec_params = dict(params["decoder"])
@@ -396,8 +399,11 @@ def make_train_step(
     trainable = jax.device_put(trainable, train_shardings)
     # device_put aliases arrays that are already correctly placed; copy so the
     # donated TrainState buffers never invalidate caller-owned params (resume /
-    # repeated make_train_step calls).
-    trainable = jax.tree_util.tree_map(lambda x: x.copy(), trainable)
+    # repeated make_train_step calls). donate_params=True skips the copy —
+    # the caller hands ownership over (at single-chip 3.8B full-trainable
+    # scale the extra tree is the difference between fitting and not).
+    if not donate_params:
+        trainable = jax.tree_util.tree_map(lambda x: x.copy(), trainable)
     frozen = jax.device_put(frozen, frozen_shardings)
     if shard_teachers and teacher_params is not None:
         from visper_lm_tpu.parallel.mesh import MODEL_AXIS
