@@ -227,7 +227,20 @@ def host_grad_segment(fn):
         sub_params, carry = res
         _, vjp = jax.vjp(fn, sub_params, carry)
         dparams, dcarry = vjp(ct)
-        return _grads_to_pinned_host(dparams), dcarry
+        hparams = _grads_to_pinned_host(dparams)
+        if hparams is not dparams:
+            # tie the outgoing carry cotangent to this segment's host
+            # transfers: without the barrier XLA launches every segment's
+            # dW copies concurrently and their device SOURCE buffers all
+            # coexist — measured 2 GiB of stacked copy-start temps at 3.8B.
+            # The cost is serializing transfer behind the next segment's
+            # backward; the win is bounded in-flight grads.
+            pflat, ptree = jax.tree_util.tree_flatten(hparams)
+            cflat, ctree = jax.tree_util.tree_flatten(dcarry)
+            out = jax.lax.optimization_barrier(tuple(pflat + cflat))
+            hparams = jax.tree_util.tree_unflatten(ptree, out[: len(pflat)])
+            dcarry = jax.tree_util.tree_unflatten(ctree, out[len(pflat):])
+        return hparams, dcarry
 
     wrapped.defvjp(fwd, bwd)
     return wrapped
