@@ -502,3 +502,36 @@ def test_spec_quantum_matches_plain(setup):
     host_spec.run(mk())
     assert eng.stats["steps"] < host_spec.stats["steps"], (
         eng.stats, host_spec.stats)
+
+
+def test_spec_hist_row_holds_full_chunked_prompt(setup):
+    """ADVICE r4 (low): the device speculative-history row must be seeded from
+    the FULL prompt's text ids (req._history accumulates every prefill chunk),
+    not just the final chunk's plan — long prompts are exactly where
+    prompt-lookup speculation pays."""
+    from visper_lm_tpu.constants import SEG_TEXT
+    from visper_lm_tpu.serve.engine import Engine as _E
+
+    cfg, params, plans, images = setup
+    # plan[3] (130 extra tokens) needs >=2 chunks at prefill_chunk=64
+    plan, image = plans[3], images[3]
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=1, max_len=512, prefill_chunk=64, prompt_bucket=64,
+        spec_k=4, spec_ngram=3, spec_quantum=2,
+    ))
+    req = Request(plan=plan, images=image[None], max_new_tokens=4, uid=0)
+    eng.submit(req)
+    # drive admission through all chunk advances until the slot fills
+    for _ in range(32):
+        if int(eng.hist_len[0]) > 0:
+            break
+        eng.step()
+    tt = np.asarray(plan.token_type)[: plan.seq_length]
+    ids = np.asarray(plan.text_ids)[: plan.seq_length][tt == SEG_TEXT]
+    # the filling step also runs a spec quantum, so the row may already hold
+    # emitted tokens past the prompt — the regression is the PREFIX: before
+    # the fix it held only the final chunk's ids
+    hlen = int(eng.hist_len[0])
+    assert hlen >= len(ids) + 1, (hlen, len(ids))
+    row = np.asarray(eng.hist[0][: len(ids)])
+    np.testing.assert_array_equal(row, ids)

@@ -100,3 +100,41 @@ def test_export_import_roundtrip_convnext_anyres_distill(tmp_path):
             np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32),
             err_msg=str(pa),
         )
+
+
+def test_export_stream_grads_layout():
+    """ADVICE r4 (low): a stream_grads-trained tree stores the decoder as
+    'blocks_chunks' sub-stacks; export must rebuild 'blocks' and produce the
+    IDENTICAL state dict (and Generator must decode from such a tree)."""
+    from visper_lm_tpu.models.decoder import chunk_blocks
+
+    cfg = tiny_test_vlm(distill=True)
+    params = init_vlm(jax.random.PRNGKey(3), cfg)
+    sd_plain = export_vlm(params, cfg)
+
+    dec = dict(params["decoder"])
+    dec["blocks_chunks"] = {
+        str(i): c for i, c in enumerate(chunk_blocks(dec.pop("blocks"), 2))
+    }
+    chunked = dict(params)
+    chunked["decoder"] = dec
+
+    sd = export_vlm(chunked, cfg)
+    assert set(sd) == set(sd_plain)
+    for k in sd_plain:
+        np.testing.assert_array_equal(sd[k], sd_plain[k])
+
+    # generation on the chunked tree: Generator normalizes the layout
+    from visper_lm_tpu.serve.generate import GenerationConfig, Generator, left_pad_plans
+
+    plan = build_splice_plan(
+        [1, 2, IMAGE_TOKEN_INDEX, 7, 8, 9], None, 32,
+        num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=cfg.distill.num_task_tokens, num_tasks=3,
+    )
+    rng = np.random.default_rng(1)
+    batch = left_pad_plans([plan], 128)
+    batch["images"] = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    gen_a = Generator(params, cfg, GenerationConfig(max_new_tokens=4), 1, 128)
+    gen_b = Generator(chunked, cfg, GenerationConfig(max_new_tokens=4), 1, 128)
+    assert gen_a.generate(dict(batch)) == gen_b.generate(dict(batch))

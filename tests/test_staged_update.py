@@ -226,6 +226,52 @@ def test_init_offloaded_chunked_layout():
     _assert_tree_close(tx.init(trainable), unchunk_state(out), rtol=0, atol=0)
 
 
+def test_whole_tree_staging_layout_is_unchunked():
+    """blockwise_staging=False (aot.py --whole-tree-staging) must plan WHOLE
+    pinned-host moment leaves: the fallback step branch runs plain
+    tx.update(grads, device_put(state), params), and optax tree math breaks on
+    ChunkedHostArray leaves (regression: the A/B flag crashed whenever
+    --offload-opt was set)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from visper_lm_tpu.train.staged_update import (
+        ChunkedHostArray,
+        plan_offload_layout,
+    )
+
+    cfg = OptimizerConfig(
+        learning_rate=1e-3, stage="finetune", master_weights=True, total_steps=50
+    )
+    full = _params(jnp.bfloat16)
+    trainable = _trainable(full, cfg)
+    tx = make_optimizer(trainable, cfg)
+    shape = jax.eval_shape(tx.init, trainable)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
+                ("data", "model"))
+    ns = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), shape)
+    cshape, cns = plan_offload_layout(
+        shape, ns, mesh, block_bytes=256, min_bytes=0, chunk=False
+    )
+    assert not any(
+        isinstance(x, ChunkedHostArray)
+        for x in jax.tree_util.tree_leaves(
+            cshape, is_leaf=lambda x: isinstance(x, ChunkedHostArray)
+        )
+    )
+    # shapes unchanged leaf-for-leaf -> tx.update remains structurally valid
+    assert jax.tree_util.tree_structure(cshape) == jax.tree_util.tree_structure(shape)
+    # leaves still offloaded (memory kind set) where eligible
+    assert any(
+        getattr(n, "memory_kind", None) == "pinned_host"
+        for n in jax.tree_util.tree_leaves(cns)
+    )
+    # the fallback update path itself (tx.update + apply_updates) runs on a
+    # state with this layout
+    st = tx.init(trainable)
+    updates, _ = tx.update(_grads(trainable), st, trainable)
+    optax.apply_updates(trainable, updates)
+
+
 def test_chunked_state_orbax_roundtrip(tmp_path):
     """A ChunkedHostArray-bearing TrainState must survive checkpoint
     save/restore (preemption + resume of an offloaded full-model run)."""

@@ -127,6 +127,11 @@ def export_resampler(sd: StateDict, prefix: str, p: Dict[str, Any]) -> None:
 
 def export_vlm(params: Dict[str, Any], cfg: VLMConfig) -> StateDict:
     """Full OLA/LLaVA-format state dict from a framework param tree."""
+    from visper_lm_tpu.models.decoder import normalize_stream_layout
+
+    # a stream_grads-trained state carries decoder['blocks_chunks'] instead
+    # of 'blocks'; rebuild the stacked layout before export
+    params = normalize_stream_layout(params)
     sd = export_decoder(params["decoder"], cfg.decoder)
     if "mm_projector" in params and params["mm_projector"]:
         for i, layer in enumerate(params["mm_projector"]["layers"]):

@@ -191,6 +191,23 @@ def unchunk_blocks(chunks: Sequence[Params]) -> Params:
     )
 
 
+def normalize_stream_layout(params: Params) -> Params:
+    """Undo the gradient-streaming decoder layout at export/inference
+    boundaries: rebuild the stacked 'blocks' tree from 'blocks_chunks'.
+    train_step.make_train_step installs the chunked layout when
+    stream_grads>0; export_vlm and the KV-cache decode path expect 'blocks'.
+    No-op for ordinary param trees."""
+    dec = params.get("decoder") if isinstance(params, dict) else None
+    if not isinstance(dec, dict) or "blocks_chunks" not in dec:
+        return params
+    dec = dict(dec)
+    chunks = dec.pop("blocks_chunks")
+    dec["blocks"] = unchunk_blocks([chunks[k] for k in sorted(chunks, key=int)])
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
 def _grads_to_pinned_host(tree):
     """Move a cotangent tree to pinned host memory when the ambient mesh is a
     single device (multi-chip SPMD cannot partition replicated memory-space

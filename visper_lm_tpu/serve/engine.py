@@ -699,7 +699,6 @@ class Engine:
         self.cache = self._cache_cls(*cache_arrays)
         self.lengths_host[slot] = int(new_len)
         self.kv_starts_host[slot] = int(new_start)
-        self.tokens_host[slot] = int(first)
         self.slot_gen[slot] += 1
         self.slot_req[slot] = req
         req.first_token_t = time.perf_counter()
@@ -709,8 +708,14 @@ class Engine:
             if self.ecfg.spec_k:
                 req._history.extend(self._plan_text_ids(plan))
             if self.ecfg.spec_k and self.ecfg.spec_quantum > 0:
-                # device history row: prompt text ids + the first token
-                ids = self._plan_text_ids(plan) + [int(first)]
+                # device history row: the FULL prompt's text ids + the first
+                # token. req._history already holds every chunk's text ids
+                # (_advance_chunk extends per chunk); seeding from the final
+                # chunk's plan alone would lose most of a long prompt — the
+                # main case where prompt-lookup speculation pays.
+                ids = list(req._history) + [int(first)]
+                if len(ids) > self.ecfg.max_len:
+                    ids = ids[-self.ecfg.max_len:]
                 row = np.full((self.ecfg.max_len,), -1, np.int32)
                 row[: len(ids)] = ids
                 self.hist, self.hist_len = self._hist_fill(

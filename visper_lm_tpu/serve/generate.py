@@ -140,6 +140,12 @@ class Generator:
         prompt_len: int,
         cache_dtype=jnp.bfloat16,
     ):
+        from visper_lm_tpu.models.decoder import normalize_stream_layout
+
+        # a stream_grads-trained tree carries decoder['blocks_chunks'];
+        # decode needs the stacked layout (cacheless chunked forward is
+        # training-only)
+        params = normalize_stream_layout(params)
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg

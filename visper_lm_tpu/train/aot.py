@@ -142,6 +142,7 @@ def lower_flagship_step(
         zero_frozen=zero_frozen,
         offload_opt_state=offload_opt_state,
         force_offload=offload_opt_state,  # topology meshes have no live devices
+        blockwise_staging=blockwise_staging,
     )
 
     teacher_fn = None

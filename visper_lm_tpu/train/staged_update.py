@@ -136,11 +136,15 @@ def _axis0_unsharded(ns, mesh) -> bool:
 def plan_offload_layout(
     opt_shape, opt_shardings, mesh, *,
     block_bytes: int = 256 << 20, min_bytes: int = 1 << 20,
+    chunk: bool = True,
 ):
     """Transform (shape tree, sharding tree) for pinned-host offload:
     offloadable leaves get pinned_host memory kind; leaves larger than
     block_bytes with a free leading axis become ChunkedHostArray nodes of
-    per-chunk shapes/shardings. Returns (opt_shape, opt_shardings)."""
+    per-chunk shapes/shardings. chunk=False keeps every offloaded leaf a
+    whole pinned-host array (the whole-tree-staging A/B path, whose update
+    is a plain device_put + tx.update — ChunkedHostArray leaves would break
+    optax tree math there). Returns (opt_shape, opt_shardings)."""
 
     def leaf(s, ns):
         if s is None or isinstance(s, optax.MaskedNode):
@@ -157,7 +161,8 @@ def plan_offload_layout(
         # never the leaf dtype (nu is often bf16 while mu is f32)
         nbytes = int(np.prod(s.shape)) * 4 if s.shape else 4
         n_rows = s.shape[0] if len(s.shape) > 1 else 1
-        if nbytes <= block_bytes or n_rows <= 1 or not _axis0_unsharded(ns, mesh):
+        if (not chunk or nbytes <= block_bytes or n_rows <= 1
+                or not _axis0_unsharded(ns, mesh)):
             return jax.ShapeDtypeStruct(s.shape, s.dtype), host_ns
         n_chunks = min(n_rows, math.ceil(nbytes / block_bytes))
         rows = [
@@ -314,6 +319,7 @@ def blockwise_staged_update(
     opt_shardings=None,
     opt_to_device=None,
     grads_on_host: bool = False,
+    grad_cache_bytes: int = 256 << 20,
 ):
     """Drop-in replacement for `tx.update(...) + optax.apply_updates(...)`
     (tx = train.optimizer.make_optimizer(params, cfg)) that streams offloaded
@@ -321,8 +327,11 @@ def blockwise_staged_update(
     ChunkedHostArray moment leaves. grads_on_host: grad leaves live in
     pinned host memory (the gradient-streaming backward,
     models/decoder.host_grad_segment - single-chip only) and are staged to
-    device behind the same token chain as the moments. Returns
-    (new_params, new_opt, grad_norm)."""
+    device behind the same token chain as the moments; the per-label norm
+    pass keeps its staged device copies alive up to `grad_cache_bytes` so
+    those leaves cross the host link once per step, not twice (the rest
+    re-stage in the update loop — bounded extra HBM, halved PCIe for the
+    cached prefix). Returns (new_params, new_opt, grad_norm)."""
     labels = lr_group_labels(params, cfg, cfg.stage)
     decay = _decay_mask(params)
     p_flat = _flat_with_keys(params)
@@ -370,10 +379,23 @@ def blockwise_staged_update(
         # before any update block, so grad leaves can free as blocks consume
         # them. Host-resident grads stage in one leaf at a time (token chain)
         # so the norm pass never holds more than one leaf in HBM.
+        # norm-pass staging reuse: the update loop consumes leaves in the same
+        # key order, so keep the staged device copy of the first leaves (the
+        # ones freed soonest) within the byte budget instead of discarding and
+        # re-staging every leaf
+        staged_cache: Dict[str, Any] = {}
         if keys:
             gsq = jnp.float32(0.0)
+            cached_bytes = 0
             for k in keys:
                 gd, token = _g_to_dev(g_flat[k], token)
+                if dev_any is not None:
+                    nb = int(np.prod(gd.shape) if gd.shape else 1) * np.dtype(
+                        gd.dtype
+                    ).itemsize
+                    if cached_bytes + nb <= grad_cache_bytes:
+                        staged_cache[k] = gd
+                        cached_bytes += nb
                 gsq = gsq + jnp.sum(jnp.square(gd.astype(jnp.float32)))
             gn = jnp.sqrt(gsq)
             clip_scale = jnp.minimum(
@@ -412,7 +434,11 @@ def blockwise_staged_update(
                       decay=dec)
 
             if grads_on_host:
-                g, token = _g_to_dev(g, token)
+                cached = staged_cache.pop(k, None)
+                if cached is not None:
+                    g = cached
+                else:
+                    g, token = _g_to_dev(g, token)
 
             if _is_chunked(mu):
                 def _chunk_ns(table, attr, idx):

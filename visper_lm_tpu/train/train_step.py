@@ -153,11 +153,14 @@ def plan_train_shardings(
     zero_min_size: int = 2 ** 16,
     offload_opt_state: bool = False,
     force_offload: bool = False,
+    blockwise_staging: bool = True,
 ):
     """Sharding plan for the train state. `params` may be real arrays OR
     ShapeDtypeStructs (the AOT compile-only path, train/aot.py) — only .shape
-    is inspected. Returns (mask, tx, opt_shape, train/frozen/opt/state
-    shardings)."""
+    is inspected. blockwise_staging=False keeps offloaded moments as WHOLE
+    pinned-host arrays (no ChunkedHostArray pre-chunking) so the plain
+    tx.update fallback in make_step_fn stays an ordinary optax tree op.
+    Returns (mask, tx, opt_shape, train/frozen/opt/state shardings)."""
     from visper_lm_tpu.train.optimizer import trainable_mask
     from visper_lm_tpu.utils.param import partition_params
 
@@ -216,7 +219,7 @@ def plan_train_shardings(
             from visper_lm_tpu.train.staged_update import plan_offload_layout
 
             opt_shape, opt_shardings = plan_offload_layout(
-                opt_shape, opt_shardings, mesh
+                opt_shape, opt_shardings, mesh, chunk=blockwise_staging
             )
         except Exception:
             pass
@@ -386,6 +389,7 @@ def make_train_step(
         zero_params=zero_params, zero_frozen=zero_frozen,
         zero_min_size=zero_min_size,
         offload_opt_state=offload_opt_state,
+        blockwise_staging=blockwise_staging,
     )
 
     base_loss_fn = make_loss_fn(
