@@ -44,10 +44,11 @@ def test_s2_tower_shapes():
     out = clip_tower_features_s2(params, cfg, img, scales=(28, 56))
     assert out.shape == (2, cfg.num_patches, 2 * cfg.hidden_size)
 
-    # the base-scale half equals the plain tower on the downscaled image
-    from visper_lm_tpu.utils.image import resize_bilinear
+    # the base-scale half equals the plain tower on the (bicubic, s2wrapper
+    # semantics) downscaled image
+    from visper_lm_tpu.utils.image import resize_bicubic
 
-    base = clip_tower_features(params, cfg, resize_bilinear(img, (28, 28)))
+    base = clip_tower_features(params, cfg, resize_bicubic(img, (28, 28)))
     np.testing.assert_allclose(np.array(out[..., :16]), np.array(base), atol=1e-5)
 
 

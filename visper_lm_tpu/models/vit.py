@@ -206,17 +206,20 @@ def clip_tower_features_s2(
     scales: Sequence[int] = (336, 1008),
 ) -> jax.Array:
     """CLIPVisionTowerS2 multiscale features (reference clip_encoder.py:94-149,
-    s2wrapper semantics): per scale, resize -> split into base-size tiles -> forward
-    -> reassemble the feature grid -> resize to the base grid; concat channel-wise.
+    s2wrapper semantics): per scale, BICUBIC-resize the largest-scale input ->
+    split into base-size tiles (chessboard) -> forward -> reassemble the
+    feature grid -> AREA-downscale to the base grid; concat channel-wise.
+    The resize modes match s2wrapper.forward exactly (F.interpolate bicubic
+    in, area out) — numeric parity is pinned by tests/test_s2_parity.py.
     Output (B, 576, hidden * len(scales))."""
-    from visper_lm_tpu.utils.image import resize_bilinear
+    from visper_lm_tpu.utils.image import resize_area, resize_bicubic
 
     base = min(scales)
     side = cfg.num_patches_per_side
     b = images.shape[0]
     outs = []
     for scale in sorted(scales):
-        imgs = resize_bilinear(images, (scale, scale)) if images.shape[1] != scale else images
+        imgs = resize_bicubic(images, (scale, scale))
         n_tiles = scale // base
         if n_tiles == 1:
             feats = clip_tower_features(params, cfg, imgs)
@@ -230,7 +233,7 @@ def clip_tower_features_s2(
             grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
                 b, n_tiles * side, n_tiles * side, d
             )
-        grid = resize_bilinear(grid, (side, side))
+        grid = resize_area(grid, (side, side))
         outs.append(grid.reshape(b, side * side, -1))
     return jnp.concatenate(outs, axis=-1)
 

@@ -13,6 +13,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from visper_lm_tpu.utils.param import Params
 
@@ -119,6 +120,74 @@ def resize_bilinear(
     right = jnp.take(rows, hi_w, axis=2)
     out = left + (right - left) * fw[None, None, :, None]
     return out.astype(x.dtype)
+
+
+def _cubic_kernel(x: "np.ndarray", a: float = -0.75) -> "np.ndarray":
+    """Keys cubic convolution kernel, torch's a=-0.75."""
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _bicubic_matrix(in_size: int, out_size: int) -> "np.ndarray":
+    """(out, in) weight matrix reproducing torch F.interpolate(mode='bicubic',
+    align_corners=False, antialias=False) along one axis: half-pixel source
+    coords, 4 taps, indices clamped to the border (replicate)."""
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * (
+        in_size / out_size
+    ) - 0.5
+    i0 = np.floor(coords).astype(np.int64) - 1
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for k in range(4):
+        idx = i0 + k
+        w = _cubic_kernel(coords - idx)
+        np.add.at(mat, (np.arange(out_size), np.clip(idx, 0, in_size - 1)), w)
+    return mat
+
+
+def _area_matrix(in_size: int, out_size: int) -> "np.ndarray":
+    """(out, in) weight matrix for torch F.interpolate(mode='area') ==
+    adaptive_avg_pool: bin i averages indices [floor(i*in/out),
+    ceil((i+1)*in/out))."""
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        s = (i * in_size) // out_size
+        e = -((-(i + 1) * in_size) // out_size)  # ceil
+        mat[i, s:e] = 1.0 / (e - s)
+    return mat
+
+
+def _resize_by_matrix(x: jax.Array, size: Tuple[int, int], make_mat) -> jax.Array:
+    b, h, w, c = x.shape
+    oh, ow = size
+    mh = jnp.asarray(make_mat(h, oh), dtype=jnp.float32)
+    mw = jnp.asarray(make_mat(w, ow), dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum("Oh,bhwc->bOwc", mh, xf)
+    out = jnp.einsum("Ow,bhwc->bhOc", mw, out)
+    return out.astype(x.dtype)
+
+
+def resize_bicubic(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """torch F.interpolate(mode='bicubic', align_corners=False) for NHWC
+    (s2wrapper's input-scale resize). Separable matrix form — sizes are
+    static, so the weights fold into two einsums."""
+    if (x.shape[1], x.shape[2]) == tuple(size):
+        return x
+    return _resize_by_matrix(x, size, _bicubic_matrix)
+
+
+def resize_area(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """torch F.interpolate(mode='area') == adaptive average pooling for NHWC
+    (s2wrapper's output-grid downscale)."""
+    if (x.shape[1], x.shape[2]) == tuple(size):
+        return x
+    return _resize_by_matrix(x, size, _area_matrix)
 
 
 def grid_sample_bilinear(
