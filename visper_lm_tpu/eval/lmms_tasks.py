@@ -1099,3 +1099,86 @@ def websrc_task(docs: Sequence[dict]) -> TaskConfig:
         metric_aggregation={"websrc_squad_f1": websrc_aggregate},
         split="val",
     )
+
+
+# ------------------------------------------------------- caption families
+
+CAPTION_METRICS = ("Bleu_4", "Bleu_3", "Bleu_2", "Bleu_1", "ROUGE_L", "CIDEr")
+# The fork also lists METEOR (coco_cap/utils.py:16); it shells out to the
+# meteor-1.5 jar whose synonym/paraphrase data files are not reproducible
+# here — deliberately omitted (docs/Evaluation.md).
+
+
+def caption_task(
+    docs: Sequence[dict],
+    name: str = "coco2017_cap_val",
+    prompt: str = "Provide a one-sentence caption for the provided image.",
+    max_new_tokens: int = 64,
+) -> TaskConfig:
+    """COCO-caption-style task: free-form caption scored with PTB-tokenized
+    Bleu_1-4 / ROUGE_L / CIDEr over the whole result set (tasks/coco_cap/
+    utils.py:26-98, flickr30k, nocaps, textcaps — identical scoring, different
+    doc fields normalized upstream). docs: [{image(PIL), answer: [refs...],
+    image_id}]. The prefix of the metric keys follows the task family
+    ('coco' for coco2014/2017_cap_*, etc.) like the fork's yamls."""
+    prefix = name.split("_")[0]
+    if prefix.startswith("coco"):
+        prefix = "coco"
+    elif prefix == "flickr30k":
+        prefix = "flickr"  # the fork's metric keys are flickr_* (utils.py:38)
+
+    def process(doc: dict, results: List[str]) -> Dict[str, Any]:
+        rec = {
+            "answer": list(doc["answer"]),
+            "pred": results[0] if results else "",
+            "image_id": doc["image_id"],
+        }
+        return {f"{prefix}_{m}": rec for m in CAPTION_METRICS}
+
+    def aggregate(metric: str):
+        def agg(results: List[dict]) -> float:
+            from visper_lm_tpu.eval.caption_metrics import compute_caption_metric
+
+            gts = {r["image_id"]: r["answer"] for r in results}
+            res = {r["image_id"]: [r["pred"]] for r in results}
+            return compute_caption_metric(metric, gts, res)
+
+        return agg
+
+    return TaskConfig(
+        name=name,
+        docs=docs,
+        doc_to_visual=lambda d: [d["image"]],
+        doc_to_text=lambda d: prompt,
+        process_results=process,
+        generation_kwargs={"max_new_tokens": max_new_tokens, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            f"{prefix}_{m}": aggregate(m) for m in CAPTION_METRICS
+        },
+        split="val",
+    )
+
+
+def coco_cap_task(docs: Sequence[dict], name: str = "coco2017_cap_val") -> TaskConfig:
+    """coco2014/2017_cap_val (tasks/coco_cap/coco2017_cap_val.yaml)."""
+    return caption_task(docs, name=name)
+
+
+def flickr30k_task(docs: Sequence[dict]) -> TaskConfig:
+    """flickr30k_test (tasks/flickr30k/flickr30k_test.yaml); docs normalize
+    doc['caption'] -> answer, int(doc['img_id']) -> image_id upstream."""
+    return caption_task(docs, name="flickr30k_test")
+
+
+def nocaps_task(docs: Sequence[dict]) -> TaskConfig:
+    """nocaps_val (tasks/nocaps/_default_template_nocaps_yaml); the fork's
+    doc_to_text reads the model-specific prompt — the llava default matches
+    caption_task's. docs: annotations_captions -> answer."""
+    return caption_task(docs, name="nocaps_val")
+
+
+def textcaps_task(docs: Sequence[dict]) -> TaskConfig:
+    """textcaps_val (tasks/textcaps/_default_template_textcaps_yaml);
+    docs: caption_str -> answer."""
+    return caption_task(docs, name="textcaps_val")
