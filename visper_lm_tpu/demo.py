@@ -333,26 +333,45 @@ def repl(model, image_path: str, out_dir: str = "demo_out", decoders=None) -> No
         print()
 
 
-def serve(model, port: int = 7860, out_dir: str = "demo_out", decoders=None) -> None:
-    """Gradio web UI (reference demo.py:236-332): image upload + chat + a
-    "Visualize" button that renders the intermediate-representation decodes.
+def build_ui(model, gr, out_dir: str = "demo_out", decoders=None,
+             max_new_tokens: int = 256):
+    """Construct the Gradio Blocks graph (reference demo.py:286-350): image
+    upload + STREAMED chat (a worker thread decodes while the handler yields
+    accumulated text — the TextIteratorStreamer pattern) + a "Visualize"
+    button wired to the intermediate-representation decoders.
 
-    gradio is an optional dependency; the CLI REPL covers the same capabilities
-    without it."""
-    try:
-        import gradio as gr
-    except ImportError as e:
-        raise SystemExit(
-            "--serve needs gradio, which is not installed in this environment. "
-            "Use the CLI REPL (omit --serve), or `pip install gradio` where allowed."
-        ) from e
+    `gr` is the gradio module (injected so tests can exercise the graph and
+    both handlers under a stub — gradio itself is an optional dependency).
+    Returns (ui, handlers) where handlers = {"chat": fn, "viz": fn}."""
+    import queue
+    import threading
 
     decoders = decoders or {}
 
     def _chat(message, history, image):
         if image is None:
-            return "Please upload an image first."
-        return model.chat([message], [image], max_new_tokens=256)[0]
+            yield "Please upload an image first."
+            return
+        q: "queue.Queue" = queue.Queue()
+        done = object()
+
+        def _run():
+            try:
+                model.chat([message], [image], max_new_tokens=max_new_tokens,
+                           stream_callback=q.put)
+            finally:
+                q.put(done)
+
+        threading.Thread(target=_run, daemon=True).start()
+        text = ""
+        while True:
+            piece = q.get()
+            if piece is done:
+                break
+            text += piece
+            yield text
+        if not text:
+            yield text  # empty generation still resolves the UI turn
 
     def _viz(question, image):
         if image is None:
@@ -371,6 +390,21 @@ def serve(model, port: int = 7860, out_dir: str = "demo_out", decoders=None) -> 
         manifest = gr.JSON(label="rendered artifacts")
         viz_btn.click(_viz, inputs=[question, image], outputs=[manifest])
         _ = chat
+    return ui, {"chat": _chat, "viz": _viz}
+
+
+def serve(model, port: int = 7860, out_dir: str = "demo_out", decoders=None) -> None:
+    """Gradio web UI entry point; the CLI REPL covers the same capabilities
+    when gradio is unavailable."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise SystemExit(
+            "--serve needs gradio, which is not installed in this environment. "
+            "Use the CLI REPL (omit --serve), or `pip install gradio` where allowed."
+        ) from e
+
+    ui, _ = build_ui(model, gr, out_dir=out_dir, decoders=decoders)
     ui.launch(server_port=port)
 
 
