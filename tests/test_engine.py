@@ -535,3 +535,74 @@ def test_spec_hist_row_holds_full_chunked_prompt(setup):
     assert hlen >= len(ids) + 1, (hlen, len(ids))
     row = np.asarray(eng.hist[0][: len(ids)])
     np.testing.assert_array_equal(row, ids)
+
+
+def test_grouped_admission_token_exact(setup):
+    """VERDICT r4 #2: grouped admission (one fused batched prefill per group)
+    must be a pure dispatch-count optimization — outputs identical to
+    per-request admission, strictly fewer prefill device calls."""
+    cfg, params, plans, images = setup
+    max_news = [6, 5, 8, 4, 7]
+    mk = lambda: [
+        Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+        for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+    ]
+    solo = Engine(params, cfg, EngineConfig(
+        num_slots=4, max_len=512, admit_group=1,
+    ))
+    expected = {r.uid: r.output_ids for r in solo.run(mk())}
+    assert solo.stats["group_admissions"] == 0
+
+    grouped = Engine(params, cfg, EngineConfig(num_slots=4, max_len=512))
+    got = {r.uid: r.output_ids for r in grouped.run(mk())}
+    assert got == expected, (got, expected)
+    assert grouped.stats["group_admissions"] >= 1
+    # the initial wave (4 free slots, 5 queued compatible) admits as one
+    # 4-group; total dispatches shrink accordingly
+    assert grouped.stats["prefills"] == solo.stats["prefills"]
+
+
+def test_grouped_admission_respects_compatibility(setup):
+    """Text-only and image requests never share a fused admission batch; the
+    group scan stops at the first incompatible request to preserve FIFO."""
+    cfg, params, plans, images = setup
+    d = cfg.distill
+    text_plan = build_splice_plan(
+        [1, 5, 9, 11], None, 256,
+        num_image_tokens=cfg.num_image_tokens,
+        num_task_tokens=d.num_task_tokens, num_tasks=3,
+    )
+    reqs = [
+        Request(plan=plans[0], images=images[0][None], max_new_tokens=4, uid=0),
+        Request(plan=text_plan, max_new_tokens=4, uid=1),
+        Request(plan=plans[1], images=images[1][None], max_new_tokens=4, uid=2),
+        Request(plan=plans[4], images=images[4][None], max_new_tokens=4, uid=3),
+    ]
+    eng = Engine(params, cfg, EngineConfig(num_slots=4, max_len=512))
+    fin = eng.run(reqs)
+    assert sorted(r.uid for r in fin) == [0, 1, 2, 3]
+    assert all(len(r.output_ids) == 4 for r in fin)
+    # image/text/image ordering: no group may span the text request, so the
+    # first admission wave is [img], [text], [img, img] -> exactly one group
+    assert eng.stats["group_admissions"] == 1
+
+
+def test_grouped_admission_with_spec_quantum(setup):
+    """Grouped admission composes with the in-graph speculative quantum: one
+    sync seeds every group member's history row; outputs stay exact."""
+    cfg, params, plans, images = setup
+    max_news = [6, 5, 8, 4, 7]
+    mk = lambda: [
+        Request(plan=p, images=im[None], max_new_tokens=mn, uid=i)
+        for i, (p, im, mn) in enumerate(zip(plans, images, max_news))
+    ]
+    base = Engine(params, cfg, EngineConfig(
+        num_slots=4, max_len=512, admit_group=1,
+    ))
+    expected = {r.uid: r.output_ids for r in base.run(mk())}
+    eng = Engine(params, cfg, EngineConfig(
+        num_slots=4, max_len=512, spec_k=4, spec_ngram=3, spec_quantum=2,
+    ))
+    got = {r.uid: r.output_ids for r in eng.run(mk())}
+    assert got == expected, (got, expected)
+    assert eng.stats["group_admissions"] >= 1

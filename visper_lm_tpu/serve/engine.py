@@ -95,6 +95,18 @@ class EngineConfig:
     # decode quantum — the host-driven spec path (spec_quantum=0) pays a full
     # host round trip per verify round. Greedy outputs stay token-exact.
     spec_quantum: int = 0
+    # grouped admission: when several slots are free and several queued
+    # requests are compatible (same modality, no prefix handle), admit up to
+    # this many in ONE fused jit — a batched prefill at the group's prompt
+    # bucket + first-token sample + multi-slot scatter insert. Group sizes
+    # round down to powers of two so the compile count stays bounded
+    # ({2,4,8} x prompt buckets). The reference-style static batch loop beats
+    # per-request admission on dispatch count exactly here (48 batch-1
+    # prefills vs 3 batched ones, BASELINE.md "Serving engine under link
+    # latency"); grouping closes that without giving up slot scheduling.
+    # 1 disables grouping. Ignored while chunked prefill is active (that path
+    # bounds per-step prefill work to one unit by design).
+    admit_group: int = 8
 
 
 @dataclasses.dataclass
@@ -233,7 +245,8 @@ class Engine:
                     donate_argnums=(0,),
                 )
         self.stats = {"steps": 0, "decoded_tokens": 0, "slot_steps": 0,
-                      "prefills": 0, "spec_proposed": 0, "spec_accepted": 0}
+                      "prefills": 0, "spec_proposed": 0, "spec_accepted": 0,
+                      "group_admissions": 0}
 
     # ---------------------------------------------------------------- prefill
 
@@ -241,7 +254,7 @@ class Engine:
         """Batch-1 prefill at a bucketed prompt length; returns (logits, kv)."""
         return jax.jit(self._make_prefill_fn(pad_to))
 
-    def _make_prefill_fn(self, pad_to: int):
+    def _make_prefill_fn(self, pad_to: int, batch_size: int = 1):
         cfg = self.cfg
 
         def prefill(params, batch):
@@ -260,13 +273,17 @@ class Engine:
                 jnp.arange(pad_to)[None, :] - offsets[:, None], 0
             )
             if self.ecfg.kv_quant:
-                cache = dec.init_quant_kv_cache(cfg.decoder, 1, self.ecfg.max_len)
+                cache = dec.init_quant_kv_cache(
+                    cfg.decoder, batch_size, self.ecfg.max_len
+                )
             else:
-                cache = dec.init_kv_cache(cfg.decoder, 1, self.ecfg.max_len)
+                cache = dec.init_kv_cache(
+                    cfg.decoder, batch_size, self.ecfg.max_len
+                )
             out = dec.decoder_forward(
                 params["decoder"], cfg.decoder, embeds,
                 positions=positions,
-                kv_lengths=jnp.full((1,), pad_to, jnp.int32),
+                kv_lengths=jnp.full((batch_size,), pad_to, jnp.int32),
                 kv_starts=offsets,
                 cache=cache, q_offset=0, tap_layers=(),
                 compute_logits=False,
@@ -303,6 +320,32 @@ class Engine:
                 new_len, new_start, first,
             )
             return out + (first,)
+
+        return jax.jit(prefill_insert, donate_argnums=(3,))
+
+    def _make_group_prefill_insert(self, pad_to: int, k: int):
+        """Grouped admission: ONE jitted call prefills k prompts (left-padded
+        to a shared bucket, per-row pad offsets), samples their first tokens,
+        and scatter-inserts the k KV columns into k slots. k batch-1
+        admissions cost k dispatches; this costs one — the currency that made
+        reference-style static batching win the 48-request workload."""
+        prefill = self._make_prefill_fn(pad_to, batch_size=k)
+        gen_cfg = GenerationConfig(
+            temperature=self.ecfg.temperature, top_p=self.ecfg.top_p
+        )
+
+        def prefill_insert(params, batch, slots, cache_arrays, lengths,
+                           kv_starts, tokens, new_lens, new_starts, key):
+            logits, kv = prefill(params, batch)          # (k, V), (L, S, k, …)
+            firsts = _sample_tokens(logits, gen_cfg, key)
+            arrays = []
+            for c, u in zip(cache_arrays, kv):
+                # one scatter along the slot axis per cache slab
+                arrays.append(c.at[:, :, slots].set(u.astype(c.dtype)))
+            lengths = lengths.at[slots].set(new_lens)
+            kv_starts = kv_starts.at[slots].set(new_starts)
+            tokens = tokens.at[slots].set(firsts)
+            return tuple(arrays), lengths, kv_starts, tokens, firsts
 
         return jax.jit(prefill_insert, donate_argnums=(3,))
 
@@ -731,6 +774,73 @@ class Engine:
             self._pending_first[slot] = True
         self.stats["prefills"] += 1
 
+    def _fill_slots(self, slots: List[int], reqs: List["Request"]) -> None:
+        """Grouped admission of len(slots) compatible requests in one fused
+        device call (see _make_group_prefill_insert). Host-side bookkeeping
+        mirrors _fill_slot per slot; when first tokens are needed immediately
+        (spec / quantum<=1) the whole group costs ONE host sync."""
+        k = len(slots)
+        plans = [r.plan for r in reqs]
+        pad_to = self._bucket(max(p.seq_length for p in plans))
+        assert all(p.seq_length <= self.ecfg.max_len for p in plans)
+        key = ("gfill", k, pad_to)
+        if key not in self._prefill_cache:
+            self._prefill_cache[key] = self._make_group_prefill_insert(pad_to, k)
+        batch = left_pad_plans(plans, pad_to)
+        batch = {kk: jnp.asarray(v) for kk, v in batch.items()}
+        if reqs[0].image_features is not None:
+            batch["image_features"] = jnp.asarray(
+                np.concatenate([r.image_features for r in reqs])
+            )
+        elif reqs[0].images is not None:
+            batch["images"] = jnp.asarray(
+                np.concatenate([r.images for r in reqs])
+            )
+        new_lens = np.full((k,), pad_to, np.int32)
+        new_starts = np.asarray(
+            [pad_to - p.seq_length for p in plans], np.int32
+        )
+        self._key, sub = jax.random.split(self._key)
+        (cache_arrays, self.lengths, self.kv_starts, self.tokens,
+         firsts) = self._prefill_cache[key](
+            self.params, batch, jnp.asarray(slots, jnp.int32),
+            tuple(self.cache), self.lengths, self.kv_starts, self.tokens,
+            jnp.asarray(new_lens), jnp.asarray(new_starts), sub,
+        )
+        self.cache = self._cache_cls(*cache_arrays)
+        now = time.perf_counter()
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            self.lengths_host[slot] = int(new_lens[i])
+            self.kv_starts_host[slot] = int(new_starts[i])
+            self.slot_gen[slot] += 1
+            self.slot_req[slot] = req
+            req.first_token_t = now
+        self.stats["prefills"] += k
+        self.stats["group_admissions"] = (
+            self.stats.get("group_admissions", 0) + 1
+        )
+        if self.ecfg.spec_k or self.ecfg.decode_quantum <= 1:
+            firsts_host = np.asarray(firsts)   # one sync for the whole group
+            for i, (slot, req) in enumerate(zip(slots, reqs)):
+                self.tokens_host[slot] = int(firsts_host[i])
+                if self.ecfg.spec_k:
+                    req._history.extend(self._plan_text_ids(req.plan))
+                if self.ecfg.spec_k and self.ecfg.spec_quantum > 0:
+                    ids = list(req._history) + [int(firsts_host[i])]
+                    if len(ids) > self.ecfg.max_len:
+                        ids = ids[-self.ecfg.max_len:]
+                    row = np.full((self.ecfg.max_len,), -1, np.int32)
+                    row[: len(ids)] = ids
+                    self.hist, self.hist_len = self._hist_fill(
+                        self.hist, self.hist_len, jnp.int32(slot),
+                        jnp.asarray(row), jnp.int32(len(ids)),
+                    )
+                self._absorb(slot, int(firsts_host[i]))
+                self._pending_first[slot] = False
+        else:
+            for slot in slots:
+                self._pending_first[slot] = True
+
     def _absorb(self, slot: int, token: int,
                 slot_len: Optional[int] = None) -> None:
         """Append a sampled token to the slot's request; retire on stop.
@@ -790,19 +900,57 @@ class Engine:
             cache=kv, length=req.final_kv_len, start=req.final_kv_start
         )
 
+    @staticmethod
+    def _group_compatible(a: "Request", b: "Request") -> bool:
+        """Requests that can share one batched admission: no prefix handle,
+        matching modality (both images / both features / both text-only) with
+        identical array shapes."""
+        if a.prefix is not None or b.prefix is not None:
+            return False
+
+        def sig(r):
+            if r.image_features is not None:
+                return ("feat", tuple(np.shape(r.image_features)))
+            if r.images is not None:
+                return ("img", tuple(np.shape(r.images)))
+            return ("text",)
+
+        return sig(a) == sig(b)
+
     def _admit(self) -> None:
         """Move queued requests into free slots. When chunked prefill is on,
         at most ONE prefill unit (a chunk advance or a slot fill) runs per
-        call, so occupied slots keep decoding between prefill pieces."""
-        for slot in range(self.ecfg.num_slots):
-            if self.slot_req[slot] is None and self.queue:
-                req = self.queue[0]
-                if self._needs_chunk(req):
-                    self._advance_chunk(req)
-                    return  # request stays queued; decode interleaves
-                self._fill_slot(slot, self.queue.popleft())
-                if self._chunk:
+        call, so occupied slots keep decoding between prefill pieces.
+        Otherwise, compatible queued requests admit in GROUPS (one fused
+        batched prefill per group, _fill_slots) — per-request admission costs
+        one dispatch each, which is the serving currency on real links."""
+        if self._chunk:
+            for slot in range(self.ecfg.num_slots):
+                if self.slot_req[slot] is None and self.queue:
+                    req = self.queue[0]
+                    if self._needs_chunk(req):
+                        self._advance_chunk(req)
+                        return  # request stays queued; decode interleaves
+                    self._fill_slot(slot, self.queue.popleft())
                     return  # bound per-step prefill work to one unit
+            return
+        free = [s for s in range(self.ecfg.num_slots)
+                if self.slot_req[s] is None]
+        while free and self.queue:
+            head = self.queue[0]
+            limit = min(len(free), max(self.ecfg.admit_group, 1))
+            n = 1
+            while (n < limit and n < len(self.queue)
+                   and self._group_compatible(head, self.queue[n])):
+                n += 1
+            # round DOWN to a power of two: bounded compile-key set
+            while n & (n - 1):
+                n &= n - 1
+            if n == 1:
+                self._fill_slot(free.pop(0), self.queue.popleft())
+            else:
+                reqs = [self.queue.popleft() for _ in range(n)]
+                self._fill_slots([free.pop(0) for _ in range(n)], reqs)
 
     def step(self) -> None:
         """Admit queued requests into free slots, then decode one QUANTUM of
