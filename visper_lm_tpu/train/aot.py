@@ -98,6 +98,7 @@ def lower_flagship_step(
     master_weights: bool = False,
     remat_policy: Optional[str] = None,
     blockwise_staging: bool = True,
+    block_bytes: int = 256 << 20,
 ):
     """Lower the full train step with abstract (never materialized) arguments.
     Returns the jax Lowered object.
@@ -143,6 +144,7 @@ def lower_flagship_step(
         offload_opt_state=offload_opt_state,
         force_offload=offload_opt_state,  # topology meshes have no live devices
         blockwise_staging=blockwise_staging,
+        block_bytes=block_bytes,
     )
 
     teacher_fn = None
@@ -303,6 +305,11 @@ def main(argv=None) -> int:
                         help="stage the WHOLE offloaded moment tree around "
                         "tx.update (the pre-round-4 path) instead of the "
                         "blockwise streamed update — for A/B memory rows")
+    parser.add_argument("--block-bytes", type=int, default=256 << 20,
+                        help="streamed-update chunk size (f32-equivalent "
+                        "bytes). The update HLO is unrolled per chunk, so "
+                        "larger chunks cut compile time at the cost of one "
+                        "larger held block of HBM (compile-vs-peak A/B)")
     parser.add_argument("--mu-dtype", default=None)
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--shard-teachers", action="store_true",
@@ -356,6 +363,7 @@ def main(argv=None) -> int:
         learning_rate=args.lr or (1e-3 if args.stage == "pretrain" else 2e-5),
         remat_policy=args.remat_policy,
         blockwise_staging=not args.whole_tree_staging,
+        block_bytes=args.block_bytes,
     )
     t_lower = time.time() - t0
     print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)
@@ -377,6 +385,8 @@ def main(argv=None) -> int:
         "zero3": not args.no_zero3,
         "zero_frozen": args.zero_frozen,
         "offload_opt_state": args.offload_opt,
+        "blockwise_staging": not args.whole_tree_staging,
+        "block_bytes": args.block_bytes,
         "mu_dtype": args.mu_dtype or "float32",
         "shard_teachers": args.shard_teachers,
         "lower_s": round(t_lower, 1),

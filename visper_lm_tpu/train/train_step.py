@@ -154,6 +154,7 @@ def plan_train_shardings(
     offload_opt_state: bool = False,
     force_offload: bool = False,
     blockwise_staging: bool = True,
+    block_bytes: int = 256 << 20,
 ):
     """Sharding plan for the train state. `params` may be real arrays OR
     ShapeDtypeStructs (the AOT compile-only path, train/aot.py) — only .shape
@@ -218,8 +219,14 @@ def plan_train_shardings(
                 dev.memory("pinned_host")  # raises if unsupported
             from visper_lm_tpu.train.staged_update import plan_offload_layout
 
+            # block_bytes trades compile time against peak HBM: the streamed
+            # update's HLO is unrolled per block, so halving the chunk count
+            # roughly halves the update's compile cost while raising the
+            # held-moment peak by one (larger) block. docs/Scale8B.md carries
+            # the measured A/B.
             opt_shape, opt_shardings = plan_offload_layout(
-                opt_shape, opt_shardings, mesh, chunk=blockwise_staging
+                opt_shape, opt_shardings, mesh, chunk=blockwise_staging,
+                block_bytes=block_bytes,
             )
         except Exception:
             pass
@@ -352,6 +359,7 @@ def make_train_step(
     shard_teachers: bool = False,
     accum_steps: int = 1,
     blockwise_staging: bool = True,
+    block_bytes: int = 256 << 20,
     stream_grads: int = 0,
     donate_params: bool = False,
 ) -> Tuple[Callable, TrainState, Any]:
@@ -390,6 +398,7 @@ def make_train_step(
         zero_min_size=zero_min_size,
         offload_opt_state=offload_opt_state,
         blockwise_staging=blockwise_staging,
+        block_bytes=block_bytes,
     )
 
     base_loss_fn = make_loss_fn(
