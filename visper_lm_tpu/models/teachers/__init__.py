@@ -134,7 +134,9 @@ def make_teacher_fn(
     return teacher_fn
 
 
-def teacher_batch_from_pil(cfg: VLMConfig, pil_images) -> Dict[str, np.ndarray]:
+def teacher_batch_from_pil(
+    cfg: VLMConfig, pil_images, workers: int = 0
+) -> Dict[str, np.ndarray]:
     """Host-side: per-teacher preprocessed pixel tensors for a list of PIL images.
 
     Uses the native (C++/OpenMP) fused resize+normalize when built — three pixel
@@ -159,20 +161,18 @@ def teacher_batch_from_pil(cfg: VLMConfig, pil_images) -> Dict[str, np.ndarray]:
     tasks = {t.task for t in d.tasks}
     fast = native.available()
 
-    def depth_native(im) -> np.ndarray:
+    def depth_native(arr) -> np.ndarray:
         # dav2_preprocess_np = resize(336) -> BGR swap -> ImageNet normalize;
         # normalize-with-reversed-stats then channel-flip is the same function
-        arr = native.resize_normalize(
-            np.asarray(im.convert("RGB")), 336,
-            IMAGENET_MEAN[::-1], IMAGENET_STD[::-1], native.BICUBIC,
+        out = native.resize_normalize(
+            arr, 336, IMAGENET_MEAN[::-1], IMAGENET_STD[::-1], native.BICUBIC,
         )
-        return arr[..., ::-1]
+        return out[..., ::-1]
 
-    def gen_native(im) -> np.ndarray:
+    def gen_native(arr) -> np.ndarray:
         # CLIPImageProcessor @224: shortest-edge bicubic resize -> center crop
         # -> normalize (crop commutes with the fused normalize)
-        im = im.convert("RGB")
-        w, h = im.size
+        h, w = arr.shape[:2]
         size = 224
         if min(w, h) == size:
             nw, nh = w, h
@@ -180,34 +180,70 @@ def teacher_batch_from_pil(cfg: VLMConfig, pil_images) -> Dict[str, np.ndarray]:
             nw, nh = size, int(size * h / w)
         else:
             nw, nh = int(size * w / h), size
-        arr = native.resize_normalize(
-            np.asarray(im), (nh, nw), CLIP_IMAGE_MEAN, CLIP_IMAGE_STD,
-            native.BICUBIC,
+        out = native.resize_normalize(
+            arr, (nh, nw), CLIP_IMAGE_MEAN, CLIP_IMAGE_STD, native.BICUBIC,
         )
         top, left = (nh - size) // 2, (nw - size) // 2
-        return arr[top:top + size, left:left + size]
+        return out[top:top + size, left:left + size]
 
-    def seg_native(im) -> np.ndarray:
+    def seg_native(arr, out=None) -> np.ndarray:
         return native.resize_normalize(
-            np.asarray(im.convert("RGB")), 768, IMAGENET_MEAN, IMAGENET_STD,
-            native.BICUBIC,
+            arr, 768, IMAGENET_MEAN, IMAGENET_STD, native.BICUBIC, out=out,
         )
 
     out: Dict[str, np.ndarray] = {}
+    if fast:
+        # PIL -> RGB ndarray ONCE per image; the three pipelines share it
+        # (each .convert/.asarray is a full-frame copy — 3x per image was
+        # ~10% of the whole host path, bench_input_pipeline.py)
+        arrays = [
+            np.asarray(im if im.mode == "RGB" else im.convert("RGB"))
+            for im in pil_images
+        ]
+
+        def run(fn):
+            # the native kernel releases the GIL (ctypes), so a thread pool
+            # scales across host cores; inline on single-core / workers<=1
+            if workers > 1 and len(arrays) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(workers, len(arrays))) as pool:
+                    return np.stack(list(pool.map(fn, arrays)))
+            return np.stack([fn(a) for a in arrays])
+
+        if "depth" in tasks:
+            out["depth_images"] = run(depth_native)
+        if "gen" in tasks:
+            out["gen_images"] = run(gen_native)
+        if "seg" in tasks:
+            # 768^2 is the heavy plane (7 MB/image f32): write each resize
+            # straight into the batch slab instead of alloc + np.stack copy
+            slab = np.empty((len(arrays), 768, 768, 3), np.float32)
+            def seg_row(i):
+                seg_native(arrays[i], out=slab[i])
+            if workers > 1 and len(arrays) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(workers, len(arrays))) as pool:
+                    list(pool.map(seg_row, range(len(arrays))))
+            else:
+                for i in range(len(arrays)):
+                    seg_row(i)
+            out["seg_images"] = slab
+        return out
     if "depth" in tasks:
-        fn = depth_native if fast else dinov2_lib.dav2_preprocess_np
-        out["depth_images"] = np.stack([fn(im) for im in pil_images])
+        out["depth_images"] = np.stack(
+            [dinov2_lib.dav2_preprocess_np(im) for im in pil_images]
+        )
     if "gen" in tasks:
-        fn = gen_native if fast else unclip_lib.unclip_preprocess_np
-        out["gen_images"] = np.stack([fn(im) for im in pil_images])
+        out["gen_images"] = np.stack(
+            [unclip_lib.unclip_preprocess_np(im) for im in pil_images]
+        )
     if "seg" in tasks:
-        if fast:
-            out["seg_images"] = np.stack([seg_native(im) for im in pil_images])
-        else:
-            out["seg_images"] = np.stack(
-                [
-                    normalize_image(im.resize((768, 768)), IMAGENET_MEAN, IMAGENET_STD)
-                    for im in pil_images
-                ]
-            )
+        out["seg_images"] = np.stack(
+            [
+                normalize_image(im.resize((768, 768)), IMAGENET_MEAN, IMAGENET_STD)
+                for im in pil_images
+            ]
+        )
     return out

@@ -299,7 +299,9 @@ def main() -> None:
                         im if im is not None else Image.new("RGB", (size, size))
                         for im in pil
                     ]
-                    batch.update(teacher_batch_from_pil(cfg, pil))
+                    batch.update(teacher_batch_from_pil(
+                        cfg, pil, workers=args.dataloader_num_workers,
+                    ))
             yield batch
 
     def prefetched_iter(epoch: int, skip_batches: int = 0):
