@@ -56,7 +56,7 @@ def _trainable(params, cfg):
     return trainable
 
 
-def _run_both(cfg, dtype, steps=3, chunk=False):
+def _run_both(cfg, dtype, steps=3, chunk=False, scan=True):
     full = _params(dtype)
     trainable = _trainable(full, cfg)
     tx = make_optimizer(trainable, cfg)
@@ -79,7 +79,7 @@ def _run_both(cfg, dtype, steps=3, chunk=False):
             lambda _: NamedSharding(mesh, P()), opt_shape
         )
         chunked_shape, _ = plan_offload_layout(
-            opt_shape, ns, mesh, block_bytes=256, min_bytes=0
+            opt_shape, ns, mesh, block_bytes=256, min_bytes=0, scan_chunks=scan
         )
         st_blk = chunk_state_like(st_blk, chunked_shape)
     for i in range(steps):
@@ -127,13 +127,18 @@ def test_blockwise_matches_optax_groups_and_master_bf16():
     _assert_tree_close(st_ref, st_blk, rtol=1e-2, atol=1e-3)
 
 
-def test_blockwise_chunked_leaves_match_unchunked():
-    # a tiny block budget forces stacked (L, in, out) leaves into
-    # ChunkedHostArray layout; after unchunking, results must match both the
-    # whole-leaf blockwise path and optax itself
+@pytest.mark.parametrize("scan", [True, False])
+def test_blockwise_chunked_leaves_match_unchunked(scan):
+    # a tiny block budget forces stacked (L, in, out) leaves into the
+    # blockwise-streamed layout — StackedHostArray (lax.scan over uniform
+    # blocks, scan=True) or ChunkedHostArray (unrolled per-block HLO,
+    # scan=False); after unchunking, results must match both the whole-leaf
+    # blockwise path and optax itself
     cfg = OptimizerConfig(learning_rate=1e-3, stage="finetune",
                           master_weights=True, total_steps=50)
-    (p_ref, st_ref), (p_chk, st_chk) = _run_both(cfg, jnp.float32, chunk=True)
+    (p_ref, st_ref), (p_chk, st_chk) = _run_both(
+        cfg, jnp.float32, chunk=True, scan=scan
+    )
     _assert_tree_close(p_ref, p_chk, rtol=2e-5, atol=1e-7)
     _assert_tree_close(st_ref, st_chk, rtol=2e-5, atol=1e-7)
 
@@ -179,17 +184,21 @@ def test_init_opt_state_offloaded_matches_tx_init():
     _assert_tree_close(ref, out, rtol=0, atol=0)
 
 
-def test_init_offloaded_chunked_layout():
+@pytest.mark.parametrize("scan", [True, False])
+def test_init_offloaded_chunked_layout(scan):
     """Chunked init: zeros per chunk, master chunks = param slices cast to
-    f32, and unchunk_state round-trips to tx.init exactly."""
+    f32, and unchunk_state round-trips to tx.init exactly (both the stacked
+    scan layout and the unrolled ChunkedHostArray layout)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from visper_lm_tpu.train.staged_update import (
         ChunkedHostArray,
+        StackedHostArray,
         plan_offload_layout,
         unchunk_state,
     )
 
+    node_cls = StackedHostArray if scan else ChunkedHostArray
     cfg = OptimizerConfig(
         learning_rate=1e-3, stage="finetune", master_weights=True, total_steps=50
     )
@@ -200,7 +209,9 @@ def test_init_offloaded_chunked_layout():
     mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
                 ("data", "model"))
     ns = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), shape)
-    cshape, cns = plan_offload_layout(shape, ns, mesh, block_bytes=256, min_bytes=0)
+    cshape, cns = plan_offload_layout(
+        shape, ns, mesh, block_bytes=256, min_bytes=0, scan_chunks=scan
+    )
     # chunk boundaries must be dtype-independent: a param's f32 mu and bf16 nu
     # update against the same p/g slices (regression: 8B AOT broadcast error)
     adam = cshape.inner_states["base"].inner_state[1][0]
@@ -213,14 +224,17 @@ def test_init_offloaded_chunked_layout():
             assert [c.shape for c in v.chunks] == [
                 c.shape for c in nu_f[k].chunks
             ], k
+        elif isinstance(v, StackedHostArray):
+            assert isinstance(nu_f[k], StackedHostArray)
+            assert v.data.shape == nu_f[k].data.shape, k
     # pinned_host placement doesn't exist on CPU: strip memory kinds but keep
     # the chunked structure
     cns = jax.tree_util.tree_map(lambda n: NamedSharding(mesh, P()), cns)
     out = init_opt_state_offloaded(tx, trainable, cshape, cns)
     assert any(
-        isinstance(x, ChunkedHostArray)
+        isinstance(x, node_cls)
         for x in jax.tree_util.tree_leaves(
-            out, is_leaf=lambda x: isinstance(x, ChunkedHostArray)
+            out, is_leaf=lambda x: isinstance(x, node_cls)
         )
     )
     _assert_tree_close(tx.init(trainable), unchunk_state(out), rtol=0, atol=0)
@@ -272,9 +286,11 @@ def test_whole_tree_staging_layout_is_unchunked():
     optax.apply_updates(trainable, updates)
 
 
-def test_chunked_state_orbax_roundtrip(tmp_path):
-    """A ChunkedHostArray-bearing TrainState must survive checkpoint
-    save/restore (preemption + resume of an offloaded full-model run)."""
+@pytest.mark.parametrize("scan", [True, False])
+def test_chunked_state_orbax_roundtrip(tmp_path, scan):
+    """A blockwise-layout TrainState (StackedHostArray or ChunkedHostArray
+    leaves) must survive checkpoint save/restore (preemption + resume of an
+    offloaded full-model run)."""
     from visper_lm_tpu.train.checkpoint import CheckpointManager
     from visper_lm_tpu.train.staged_update import (
         chunk_state_like,
@@ -292,7 +308,9 @@ def test_chunked_state_orbax_roundtrip(tmp_path):
     mesh = Mesh(np.asarray(jax.devices("cpu")[:1]).reshape(1, 1),
                 ("data", "model"))
     ns = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), shape)
-    cshape, _ = plan_offload_layout(shape, ns, mesh, block_bytes=256, min_bytes=0)
+    cshape, _ = plan_offload_layout(
+        shape, ns, mesh, block_bytes=256, min_bytes=0, scan_chunks=scan
+    )
     opt = chunk_state_like(tx.init(trainable), cshape)
     state = TrainState(params=trainable, opt_state=opt,
                        step=jnp.zeros((), jnp.int32))

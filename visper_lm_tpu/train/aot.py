@@ -99,6 +99,7 @@ def lower_flagship_step(
     remat_policy: Optional[str] = None,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
+    scan_chunks: bool = True,
 ):
     """Lower the full train step with abstract (never materialized) arguments.
     Returns the jax Lowered object.
@@ -145,6 +146,7 @@ def lower_flagship_step(
         force_offload=offload_opt_state,  # topology meshes have no live devices
         blockwise_staging=blockwise_staging,
         block_bytes=block_bytes,
+        scan_chunks=scan_chunks,
     )
 
     teacher_fn = None
@@ -307,9 +309,12 @@ def main(argv=None) -> int:
                         "blockwise streamed update — for A/B memory rows")
     parser.add_argument("--block-bytes", type=int, default=256 << 20,
                         help="streamed-update chunk size (f32-equivalent "
-                        "bytes). The update HLO is unrolled per chunk, so "
-                        "larger chunks cut compile time at the cost of one "
-                        "larger held block of HBM (compile-vs-peak A/B)")
+                        "bytes) — the held-block HBM granularity")
+    parser.add_argument("--unrolled-staging", action="store_true",
+                        help="unroll the streamed update per block "
+                        "(ChunkedHostArray layout; compile time linear in "
+                        "chunk count) instead of the default lax.scan over a "
+                        "stacked uniform-block layout — compile-time A/B")
     parser.add_argument("--mu-dtype", default=None)
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--shard-teachers", action="store_true",
@@ -364,6 +369,7 @@ def main(argv=None) -> int:
         remat_policy=args.remat_policy,
         blockwise_staging=not args.whole_tree_staging,
         block_bytes=args.block_bytes,
+        scan_chunks=not args.unrolled_staging,
     )
     t_lower = time.time() - t0
     print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)
@@ -387,6 +393,7 @@ def main(argv=None) -> int:
         "offload_opt_state": args.offload_opt,
         "blockwise_staging": not args.whole_tree_staging,
         "block_bytes": args.block_bytes,
+        "scan_chunks": not args.unrolled_staging,
         "mu_dtype": args.mu_dtype or "float32",
         "shard_teachers": args.shard_teachers,
         "lower_s": round(t_lower, 1),

@@ -155,12 +155,15 @@ def plan_train_shardings(
     force_offload: bool = False,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
+    scan_chunks: bool = True,
 ):
     """Sharding plan for the train state. `params` may be real arrays OR
     ShapeDtypeStructs (the AOT compile-only path, train/aot.py) — only .shape
     is inspected. blockwise_staging=False keeps offloaded moments as WHOLE
     pinned-host arrays (no ChunkedHostArray pre-chunking) so the plain
     tx.update fallback in make_step_fn stays an ordinary optax tree op.
+    scan_chunks=False unrolls the streamed update per block (ChunkedHostArray)
+    instead of lax.scanning a stacked layout — compile-time A/B.
     Returns (mask, tx, opt_shape, train/frozen/opt/state shardings)."""
     from visper_lm_tpu.train.optimizer import trainable_mask
     from visper_lm_tpu.utils.param import partition_params
@@ -219,14 +222,14 @@ def plan_train_shardings(
                 dev.memory("pinned_host")  # raises if unsupported
             from visper_lm_tpu.train.staged_update import plan_offload_layout
 
-            # block_bytes trades compile time against peak HBM: the streamed
-            # update's HLO is unrolled per block, so halving the chunk count
-            # roughly halves the update's compile cost while raising the
-            # held-moment peak by one (larger) block. docs/Scale8B.md carries
-            # the measured A/B.
+            # block_bytes trades HBM peak against per-block host-link
+            # latency; with the default scanned layout (scan_chunks=True) the
+            # update's HLO compiles once per leaf shape, so chunk count no
+            # longer costs compile time (the unrolled A/B path is linear in
+            # it). docs/Scale8B.md carries the measured A/B.
             opt_shape, opt_shardings = plan_offload_layout(
                 opt_shape, opt_shardings, mesh, chunk=blockwise_staging,
-                block_bytes=block_bytes,
+                block_bytes=block_bytes, scan_chunks=scan_chunks,
             )
         except Exception:
             pass
@@ -360,6 +363,7 @@ def make_train_step(
     accum_steps: int = 1,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
+    scan_chunks: bool = True,
     stream_grads: int = 0,
     donate_params: bool = False,
 ) -> Tuple[Callable, TrainState, Any]:
@@ -399,6 +403,7 @@ def make_train_step(
         offload_opt_state=offload_opt_state,
         blockwise_staging=blockwise_staging,
         block_bytes=block_bytes,
+        scan_chunks=scan_chunks,
     )
 
     base_loss_fn = make_loss_fn(
