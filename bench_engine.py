@@ -134,18 +134,30 @@ def main() -> None:
     del toks, cache, logits, gen, jb
 
     # ---- 2. end-to-end mixed workload --------------------------------------
+    # a serving engine is a long-lived process: compile happens once at
+    # startup, then every arrival hits warm code. Pass 1 warms every compile
+    # key (quantum step, grouped-admission prefill buckets); pass 2 is the
+    # measured steady state. The static batch loop below gets the identical
+    # two-pass treatment, so neither side pays compile in the comparison.
     eng2 = Engine(params, cfg, EngineConfig(
         num_slots=B, max_len=max_len, kv_quant=kvq, weight_quant=wq, **qkw,
     ))
-    reqs = [Request(plan=pl, images=im, max_new_tokens=mn, uid=i)
-            for i, (pl, im, mn) in enumerate(reqs_spec)]
+
+    def fresh_reqs():
+        return [Request(plan=pl, images=im, max_new_tokens=mn, uid=i)
+                for i, (pl, im, mn) in enumerate(reqs_spec)]
+
+    eng2.run(fresh_reqs())  # warm pass (compiles)
+    eng2.stats = {k: 0 for k in eng2.stats}
     t0 = time.perf_counter()
-    finished = eng2.run(reqs)
+    finished = eng2.run(fresh_reqs())
     eng_e2e_s = time.perf_counter() - t0
     n_tok = sum(len(r.output_ids) for r in finished)
     occupancy = eng2.stats["slot_steps"] / max(
         eng2.stats["steps"] * B * eng2.ecfg.decode_quantum, 1
     )
+    admit_dispatch = eng2.stats.get("admit_dispatches", 0)
+    group_adm = eng2.stats["group_admissions"]
     del eng2.cache, eng2  # the 16-slot cache and the Generator's cannot coexist
 
     # reference-style batch loop: fixed batches, each waits for its longest.
@@ -154,28 +166,33 @@ def main() -> None:
     g = Generator(params, cfg, GenerationConfig(
         max_new_tokens=hi, decode_chunk=8, kv_quant=kvq, weight_quant=wq,
     ), B, prompt_pad)
-    t0 = time.perf_counter()
-    loop_tok = 0
-    for i in range(0, n_req, B):
-        chunk = reqs_spec[i:i + B]
-        while len(chunk) < B:
-            chunk.append(chunk[-1])
-        batch = left_pad_plans([c[0] for c in chunk], prompt_pad)
-        batch["images"] = np.concatenate([c[1] for c in chunk])
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        logits, cache = g._prefill(g.params, jb)
-        token = jnp.argmax(logits, axis=-1)
-        batch_max = max(c[2] for c in reqs_spec[i:i + B])
-        n_chunks = -(-(batch_max - 1) // 8)
-        for ci in range(n_chunks):
-            toks, cache = g._step(g.params, cache, token, jnp.int32(8 * ci),
-                                  jb["pad_offsets"], key)
-            token = toks[-1]
-        float(jnp.sum(token))
-        loop_tok += sum(c[2] for c in reqs_spec[i:i + B])
-        del cache
-    loop_e2e_s = time.perf_counter() - t0
-    del g, jb, logits, token, toks
+
+    def run_batch_loop():
+        t0 = time.perf_counter()
+        tok_count = 0
+        for i in range(0, n_req, B):
+            chunk = reqs_spec[i:i + B]
+            while len(chunk) < B:
+                chunk.append(chunk[-1])
+            batch = left_pad_plans([c[0] for c in chunk], prompt_pad)
+            batch["images"] = np.concatenate([c[1] for c in chunk])
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            logits, cache = g._prefill(g.params, jb)
+            token = jnp.argmax(logits, axis=-1)
+            batch_max = max(c[2] for c in reqs_spec[i:i + B])
+            n_chunks = -(-(batch_max - 1) // 8)
+            for ci in range(n_chunks):
+                toks, cache = g._step(g.params, cache, token, jnp.int32(8 * ci),
+                                      jb["pad_offsets"], key)
+                token = toks[-1]
+            float(jnp.sum(token))
+            tok_count += sum(c[2] for c in reqs_spec[i:i + B])
+            del cache
+        return tok_count, time.perf_counter() - t0
+
+    run_batch_loop()  # warm pass (same treatment as the engine above)
+    loop_tok, loop_e2e_s = run_batch_loop()
+    del g
 
     # ---- 3. prefix caching: turn latency over a long chat history ----------
     # the reference pattern re-prefills history+delta every turn; the session
@@ -231,6 +248,9 @@ def main() -> None:
         spec_k=4, spec_ngram=3,
         spec_quantum=0 if args.smoke else 4,   # in-graph rounds, 1 sync/step
     ))
+    eng4.run([Request(plan=pl, images=im, max_new_tokens=mn_, uid=i)
+              for i, (pl, im, mn_) in enumerate(reqs_spec)])  # warm pass
+    eng4.stats = {k: 0 for k in eng4.stats}
     reqs4 = [Request(plan=pl, images=im, max_new_tokens=mn_, uid=i)
              for i, (pl, im, mn_) in enumerate(reqs_spec)]
     t0 = time.perf_counter()
@@ -263,6 +283,8 @@ def main() -> None:
         "batch_loop_tokens_per_sec": round(loop_tok / loop_e2e_s, 2),
         "speedup_vs_batch_loop": round(loop_e2e_s / eng_e2e_s, 2),
         "slot_occupancy": round(occupancy, 3),
+        "admit_dispatches": admit_dispatch,
+        "group_admissions": group_adm,
         "prefix_turn_full_ms": round(1000 * full_s, 1),
         "prefix_turn_cached_ms": round(1000 * cached_s, 1),
         "prefix_cache_turn_speedup": round(full_s / cached_s, 2),

@@ -606,3 +606,34 @@ def test_grouped_admission_with_spec_quantum(setup):
     got = {r.uid: r.output_ids for r in eng.run(mk())}
     assert got == expected, (got, expected)
     assert eng.stats["group_admissions"] >= 1
+
+
+def test_admission_hysteresis_pools_dispatches(setup):
+    """admit_defer: when the queue is deeper than the free slots, admission
+    waits (bounded) for retirements to pool into one fused group instead of
+    trickling in singleton prefill dispatches. Outputs must be identical to
+    eager admission; mid-run admission dispatch count must strictly drop."""
+    cfg, params, plans, images = setup
+    # staggered retirements: quantum 2 with max_new 2/4/6/8 retires one slot
+    # per decode step, so an eager engine admits the queue one slot at a time
+    max_news = ([2, 4, 6, 8] + [3] * 8)
+    mk = lambda: [
+        Request(plan=plans[i % 4], images=images[i % 4][None],
+                max_new_tokens=mn, uid=i)
+        for i, mn in enumerate(max_news)
+    ]
+    eager = Engine(params, cfg, EngineConfig(
+        num_slots=4, max_len=512, decode_quantum=2, admit_defer=0,
+    ))
+    expected = {r.uid: r.output_ids for r in eager.run(mk())}
+
+    pooled = Engine(params, cfg, EngineConfig(
+        num_slots=4, max_len=512, decode_quantum=2, admit_defer=4,
+    ))
+    got = {r.uid: r.output_ids for r in pooled.run(mk())}
+    assert got == expected, (got, expected)
+    assert pooled.stats["admit_dispatches"] < eager.stats["admit_dispatches"], (
+        pooled.stats, eager.stats,
+    )
+    # same requests prefilled either way; pooling only changes the grouping
+    assert pooled.stats["prefills"] == eager.stats["prefills"]

@@ -107,6 +107,15 @@ class EngineConfig:
     # 1 disables grouping. Ignored while chunked prefill is active (that path
     # bounds per-step prefill work to one unit by design).
     admit_group: int = 8
+    # admission hysteresis: when the queue is deeper than the free slots and
+    # a LARGER compatible group could form, defer admission up to this many
+    # steps so retiring slots pool into one fused group admission instead of
+    # trickling in as singleton dispatches (a retirement frees slots one at a
+    # time, so mid-run admissions would otherwise all be batch-1 — the exact
+    # dispatch pattern grouping exists to avoid). Occupied slots keep
+    # decoding during the deferral, so the cost is bounded admission latency
+    # (defer x decode_quantum tokens), not idle time; 0 admits eagerly.
+    admit_defer: int = 4
 
 
 @dataclasses.dataclass
@@ -247,6 +256,7 @@ class Engine:
         self.stats = {"steps": 0, "decoded_tokens": 0, "slot_steps": 0,
                       "prefills": 0, "spec_proposed": 0, "spec_accepted": 0,
                       "group_admissions": 0}
+        self._admit_deferred = 0
 
     # ---------------------------------------------------------------- prefill
 
@@ -773,6 +783,7 @@ class Engine:
             # host round trip
             self._pending_first[slot] = True
         self.stats["prefills"] += 1
+        self.stats["admit_dispatches"] = self.stats.get("admit_dispatches", 0) + 1
 
     def _fill_slots(self, slots: List[int], reqs: List["Request"]) -> None:
         """Grouped admission of len(slots) compatible requests in one fused
@@ -816,6 +827,7 @@ class Engine:
             self.slot_req[slot] = req
             req.first_token_t = now
         self.stats["prefills"] += k
+        self.stats["admit_dispatches"] = self.stats.get("admit_dispatches", 0) + 1
         self.stats["group_admissions"] = (
             self.stats.get("group_admissions", 0) + 1
         )
@@ -936,6 +948,21 @@ class Engine:
             return
         free = [s for s in range(self.ecfg.num_slots)
                 if self.slot_req[s] is None]
+        if free and self.queue and self.ecfg.admit_defer:
+            # hysteresis: if a bigger compatible group could form than the
+            # free slots can hold, let decoding continue and pool retirements
+            head = self.queue[0]
+            n_compat = 1
+            cap = min(len(self.queue), max(self.ecfg.admit_group, 1))
+            while (n_compat < cap
+                   and self._group_compatible(head, self.queue[n_compat])):
+                n_compat += 1
+            occupied = self.ecfg.num_slots - len(free)
+            if (occupied > 0 and len(free) < n_compat
+                    and self._admit_deferred < self.ecfg.admit_defer):
+                self._admit_deferred += 1
+                return
+        self._admit_deferred = 0
         while free and self.queue:
             head = self.queue[0]
             limit = min(len(free), max(self.ecfg.admit_group, 1))
