@@ -181,7 +181,8 @@ def measure(args, batch_size: int):
 
     with mesh:
         step_fn, state, _ = make_train_step(
-            cfg, opt_cfg, params, mesh, use_pallas=on_tpu,
+            cfg, opt_cfg, params, mesh,
+            use_pallas=on_tpu and not args.xla_attention,
             remat_policy=args.remat_policy,
             teacher_fn=teacher_fn, teacher_params=teacher_params,
             offload_opt_state=args.offload_opt,
@@ -277,6 +278,12 @@ def main():
     parser.add_argument("--remat-policy", default="save_gate",
                         help="remat save set (models/decoder.py _remat_policy); "
                         "'none' for full per-block remat")
+    parser.add_argument("--xla-attention", action="store_true",
+                        help="disable the Pallas flash kernel and run XLA "
+                        "attention — measures what the PP fallback costs "
+                        "(parallel/pipeline.py runs XLA attention inside "
+                        "shard_map stages until Shardy supports nested "
+                        "manual sharding)")
     args = parser.parse_args()
 
     if args.smoke:
