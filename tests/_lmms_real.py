@@ -98,16 +98,19 @@ def import_real_lmms_eval():
         return None
 
 
-def load_task_utils(task: str):
-    """importlib-load a reference task's utils.py (e.g. 'realworldqa') without
-    package __init__ side effects beyond lmms_eval itself."""
+def load_task_utils(task: str, module: str = "utils"):
+    """importlib-load a reference task's utils module (e.g. 'realworldqa',
+    or ('refcoco', 'utils_rec')) without package __init__ side effects
+    beyond lmms_eval itself."""
     import importlib.util
 
     _install_stub_modules()
     if LMMS_EVAL_ROOT not in sys.path:
         sys.path.insert(0, LMMS_EVAL_ROOT)
-    path = f"{LMMS_EVAL_ROOT}/lmms_eval/tasks/{task}/utils.py"
-    spec = importlib.util.spec_from_file_location(f"_ref_{task}_utils", path)
+    path = f"{LMMS_EVAL_ROOT}/lmms_eval/tasks/{task}/{module}.py"
+    spec = importlib.util.spec_from_file_location(
+        f"_ref_{task}_{module}", path
+    )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod

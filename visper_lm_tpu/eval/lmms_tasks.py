@@ -33,6 +33,7 @@ tests/test_lmms_tasks.py (imported read-only, never copied).
 
 from __future__ import annotations
 
+import re
 import statistics
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence
@@ -731,7 +732,83 @@ def task_builders() -> Dict[str, Any]:
         "stvqa": stvqa_task,
         "iconqa_val": iconqa_task,
         "websrc_val": websrc_task,
+        "coco2017_cap_val": coco_cap_task,
+        "flickr30k_test": flickr30k_task,
+        "nocaps_val": nocaps_task,
+        "textcaps_val": textcaps_task,
+        "naturalbench": naturalbench_task,
+        "seedbench-2": seedbench2_task,
+        "cmmmu_val": _cmmmu_task,
+        "olympiadbench_test_en": _olympiadbench_en_task,
+        "olympiadbench_test_cn": _olympiadbench_cn_task,
+        "refcoco_bbox_rec_val": _refcoco_rec_task,
+        "refcoco+_bbox_rec_val": _refcoco_plus_rec_task,
+        "refcocog_bbox_rec_val": _refcocog_rec_task,
+        "refcoco_bbox_val": _refcoco_reg_task,
+        "refcoco_seg_val": _refcoco_seg_task,
+        "screenspot_rec_test": _screenspot_rec_task,
+        "screenspot_reg_test": _screenspot_reg_task,
     }
+
+
+def _cmmmu_task(docs):
+    from visper_lm_tpu.eval.cmmmu import cmmmu_task
+
+    return cmmmu_task(docs)
+
+
+def _olympiadbench_en_task(docs):
+    from visper_lm_tpu.eval.olympiad import olympiadbench_task
+
+    return olympiadbench_task(docs, lang="en")
+
+
+def _olympiadbench_cn_task(docs):
+    from visper_lm_tpu.eval.olympiad import olympiadbench_task
+
+    return olympiadbench_task(docs, lang="cn")
+
+
+def _refcoco_rec_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import refcoco_rec_task
+
+    return refcoco_rec_task(docs, family="refcoco")
+
+
+def _refcoco_plus_rec_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import refcoco_rec_task
+
+    return refcoco_rec_task(docs, family="refcoco+")
+
+
+def _refcocog_rec_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import refcoco_rec_task
+
+    return refcoco_rec_task(docs, family="refcocog")
+
+
+def _refcoco_reg_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import refcoco_reg_task
+
+    return refcoco_reg_task(docs, family="refcoco")
+
+
+def _refcoco_seg_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import refcoco_reg_task
+
+    return refcoco_reg_task(docs, family="refcoco", seg=True)
+
+
+def _screenspot_rec_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import screenspot_rec_task
+
+    return screenspot_rec_task(docs)
+
+
+def _screenspot_reg_task(docs):
+    from visper_lm_tpu.eval.grounding_tasks import screenspot_reg_task
+
+    return screenspot_reg_task(docs)
 
 
 def _mmmu_task(docs):
@@ -1182,3 +1259,169 @@ def textcaps_task(docs: Sequence[dict]) -> TaskConfig:
     """textcaps_val (tasks/textcaps/_default_template_textcaps_yaml);
     docs: caption_str -> answer."""
     return caption_task(docs, name="textcaps_val")
+
+
+# ------------------------------------------------------------ NaturalBench
+# tasks/naturalbench/utils.py — 1900 quartets of (q0,q1) x (i0,i1) where by
+# construction q0 is true of i0 / false of i1 and q1 the reverse. Answers
+# are EXTRACTED (yes/A -> 1, no/B -> 0, unparseable -> -1, first-position
+# wins when both appear, utils.py:114-152) and the quartet-level metrics
+# compare the extractions against that fixed truth pattern (get_scores).
+
+NATURALBENCH_SUFFIX = {
+    "yes_no": "Please answer Yes or No.",
+    "multiple_choice":
+        "Please output the letter corresponding to the correct option.",
+}
+
+
+def naturalbench_extract_answer(output: str, task_type: str = "yes_no") -> int:
+    def pos(word: str) -> int:
+        m = re.search(r"\b" + re.escape(word) + r"\b", output, re.IGNORECASE)
+        return m.start() if m else -1
+
+    if task_type not in ("yes_no", "multiple_choice"):
+        raise ValueError(
+            "Task type not supported. Must be 'yes_no' or 'multiple_choice'."
+        )
+    a = pos("yes") if task_type == "yes_no" else pos("A")
+    b = pos("no") if task_type == "yes_no" else pos("B")
+    if a == -1 and b == -1:
+        return -1
+    if a != -1 and b != -1:
+        return 1 if a < b else 0
+    return 0 if a == -1 else 1
+
+
+def naturalbench_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    return {"naturalbench_score": {
+        "id": doc["Index"],
+        "score": naturalbench_extract_answer(
+            results[0], task_type=doc["Question_Type"]
+        ),
+    }}
+
+
+def naturalbench_get_scores(answers: Dict[int, Dict[str, float]]) -> Dict[str, float]:
+    """utils.py get_scores: question/image/binary/group scores over quartets
+    keyed q0_i0/q0_i1/q1_i0/q1_i1."""
+    q = i = b = g = 0.0
+    for r in answers.values():
+        qs = ((r["q0_i0"] == 1.0 and r["q0_i1"] == 0.0)
+              + (r["q1_i1"] == 1.0 and r["q1_i0"] == 0.0))
+        is_ = ((r["q0_i0"] == 1.0 and r["q1_i0"] == 0.0)
+               + (r["q1_i1"] == 1.0 and r["q0_i1"] == 0.0))
+        q += qs
+        i += is_
+        b += ((r["q0_i0"] == 1.0) + (r["q0_i1"] == 0.0)
+              + (r["q1_i0"] == 0.0) + (r["q1_i1"] == 1.0))
+        g += 1 if (qs == 2 and is_ == 2) else 0
+    n = len(answers)
+    return {
+        "question_score": q / float(n * 2),
+        "image_score": i / float(n * 2),
+        "binary_score": b / float(n * 4),
+        "group_score": g / n,
+    }
+
+
+def naturalbench_aggregate_results(results: List[dict]) -> float:
+    """utils.py:183-203: regroup the flat id-ordered results into quartets;
+    the task's headline number is the group score. The fork hard-asserts the
+    full 1900-quartet release (len == 7600); this port asserts the same
+    quartet ID layout but accepts any multiple of 4 so sliced runs score."""
+    assert len(results) % 4 == 0, len(results)
+    answers = {}
+    for i in range(len(results) // 4):
+        for j in range(4):
+            assert int(results[i * 4 + j]["id"]) == i * 4 + j
+        answers[i] = {
+            "q0_i0": results[i * 4]["score"],
+            "q0_i1": results[i * 4 + 1]["score"],
+            "q1_i0": results[i * 4 + 2]["score"],
+            "q1_i1": results[i * 4 + 3]["score"],
+        }
+    scores = naturalbench_get_scores(answers)
+    naturalbench_aggregate_results.last_scores = scores
+    return scores["group_score"]
+
+
+def naturalbench_task(docs: Sequence[dict]) -> TaskConfig:
+    """naturalbench (tasks/naturalbench/naturalbench.yaml). docs:
+    [{Index, Image(PIL), Question, Question_Type}] in release order (the
+    quartet structure is positional)."""
+    return TaskConfig(
+        name="naturalbench",
+        docs=docs,
+        doc_to_visual=lambda d: [d["Image"]],
+        doc_to_text=lambda d: (
+            d["Question"] + " " + NATURALBENCH_SUFFIX[d["Question_Type"]]
+        ),
+        process_results=naturalbench_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation={
+            "naturalbench_score": naturalbench_aggregate_results,
+        },
+        split="test",
+    )
+
+
+# ------------------------------------------------------------ SEED-Bench-2
+# tasks/seedbench_2/utils.py — same first-char accuracy as SEED-Bench but
+# with 27 data_type buckets, an <img> placeholder token in choices, and an
+# image-generation variant that prepends one image token per extra image.
+
+
+def seedbench2_doc_to_text(doc: dict, img_token: str = "<image>",
+                           post_prompt: str = "Answer with the option's letter from the given choices directly.") -> str:
+    def choice(c: str) -> str:
+        return img_token if ("jpg" in c or "png" in c) else c
+
+    q = doc["question"]
+    q += "\n" + f"A. {choice(doc['choice_a'])}\n"
+    q += f"B. {choice(doc['choice_b'])}\n"
+    q += f"C. {choice(doc['choice_c'])}\n"
+    q += f"D. {choice(doc['choice_d'])}"
+    if doc["data_type"] == "Image Generation":
+        n = len(doc["data_id"]) - 4
+        q = " ".join([img_token] * n) + "\n" + q
+    return f"{q}\n{post_prompt}"
+
+
+def seedbench2_process_results(doc: dict, results: List[str]) -> Dict[str, Any]:
+    pred = results[0].strip()
+    if len(pred) > 1:
+        pred = pred[0]
+    rec = {"pred": pred, "answer": doc["answer"],
+           "question_id": doc["question_id"]}
+    data_type = "_".join(doc["data_type"].split(" "))
+    return {f"seed_{data_type}": rec, "seed_all": rec}
+
+
+def seedbench2_aggregate(results: List[dict]) -> float:
+    correct = sum(r["pred"] == r["answer"] for r in results)
+    return correct / len(results) if results else 0
+
+
+def seedbench2_task(docs: Sequence[dict]) -> TaskConfig:
+    """seedbench-2 (tasks/seedbench_2/seedbench_2.yaml). docs:
+    [{question, choice_a..d, answer, data_type, data_id, question_id,
+    image: [PIL,...]}]. Metric keys materialize per data_type seen plus
+    seed_all (the yaml enumerates all 27; the harness aggregates whichever
+    appear). The fork's seed_all aggregation also dumps a submission json —
+    side effect omitted, score identical."""
+    metrics = {f"seed_{'_'.join(dt.split(' '))}": seedbench2_aggregate
+               for dt in {d["data_type"] for d in docs}}
+    metrics["seed_all"] = seedbench2_aggregate
+    return TaskConfig(
+        name="seedbench-2",
+        docs=docs,
+        doc_to_visual=lambda d: [im.convert("RGB") for im in d["image"]],
+        doc_to_text=seedbench2_doc_to_text,
+        process_results=seedbench2_process_results,
+        generation_kwargs={"max_new_tokens": 16, "temperature": 0,
+                           "do_sample": False},
+        metric_aggregation=metrics,
+        split="test",
+    )
