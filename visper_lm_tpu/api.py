@@ -537,6 +537,8 @@ class VisperModel:
         decode_quantum: int = 8,
         spec_k: int = 0,
         spec_quantum: int = 4,
+        admit_group: int = 8,
+        admit_defer: int = 4,
     ) -> List[str]:
         """Continuous-batching VQA (serve/engine.py): answers in question order.
 
@@ -544,7 +546,13 @@ class VisperModel:
         refills from the queue the moment its request retires, so mixed-length
         workloads keep the decode batch full. Greedy outputs are token-exact
         with chat() (tests/test_engine.py). Use for large mixed-length queues;
-        chat() remains the right call for a handful of similar prompts."""
+        chat() remains the right call for a handful of similar prompts.
+
+        decode_quantum is the latency<->throughput dial on remote-relay
+        links: 8 for chat-grade first-token latency, 64 for offline sweeps
+        (measured to beat static batching e2e, BASELINE.md round-5 table).
+        admit_group/admit_defer control fused group admission and the
+        retirement-pooling hysteresis."""
         from visper_lm_tpu.serve.engine import Engine, EngineConfig, Request
 
         prompts = [self.build_prompt(q) for q in questions]
@@ -618,6 +626,7 @@ class VisperModel:
             decode_quantum=decode_quantum,
             spec_k=spec_k if temperature == 0.0 else 0,
             spec_quantum=spec_quantum if temperature == 0.0 else 0,
+            admit_group=admit_group, admit_defer=admit_defer,
         ), tokenizer=self.tokenizer)
         finished = eng.run(reqs)
         texts = eng.decode_texts(finished)
