@@ -393,3 +393,88 @@ def test_stream_grads_step_matches_plain():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-4, atol=1e-6,
         )
+
+
+def test_stream_grads_with_taps_matches_plain_multichip():
+    """Gradient streaming UNDER DISTILLATION TAPS on a multi-chip mesh (the
+    beyond-parity pretrain_full regime): the tap-aligned chunked layout
+    (models/decoder.stream_chunk_ranges) + host_grad_segment backward must
+    reproduce the plain stacked layout's loss trajectory and parameters
+    exactly. Runs on the dp4xtp2 virtual CPU mesh, so it also pins the
+    multi-chip code path (on CPU the host memory-space put is a no-op; the
+    segmentation, custom_vjp, and staged-update math are what's under test)."""
+    from visper_lm_tpu.config import tiny_test_vlm
+    from visper_lm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from visper_lm_tpu.data.collate import build_splice_plan, collate_plans
+    from visper_lm_tpu.models.decoder import stream_chunk_ranges, unchunk_blocks
+    from visper_lm_tpu.models.vlm import init_vlm, tap_layer_union
+    from visper_lm_tpu.parallel.mesh import make_mesh
+    from visper_lm_tpu.train.train_step import make_train_step, shard_batch
+
+    cfg = tiny_test_vlm(distill=True)
+    rng = np.random.default_rng(0)
+    plans = []
+    for b in range(8):
+        ids = [1, 2, 3, IMAGE_TOKEN_INDEX] + list(
+            rng.integers(3, 400, size=8 + b)
+        )
+        labels = [IGNORE_INDEX] * 4 + ids[4:]
+        plans.append(build_splice_plan(
+            ids, labels, 64, num_image_tokens=cfg.num_image_tokens,
+            num_task_tokens=cfg.distill.num_task_tokens, num_tasks=3,
+        ))
+    batch = collate_plans(
+        plans, images=rng.normal(size=(8, 28, 28, 3)).astype(np.float32)
+    )
+    for t in cfg.distill.tasks:
+        batch[f"{t.task}_mask"] = np.ones((8,), np.float32)
+        batch[f"{t.task}_target"] = rng.normal(
+            size=(8, t.target_tokens, t.target_dim)
+        ).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(
+        learning_rate=1e-3, total_steps=100, stage="full"
+    )
+
+    taps = tap_layer_union(cfg)
+    ranges = stream_chunk_ranges(cfg.decoder.num_layers, 2, taps)
+    # the tiny config's taps {1,2,3} + a 2-chunk grid must actually segment
+    assert len(ranges) == 3 and all(
+        l + 1 in {e for _, e in ranges} for l in taps
+    ), ranges
+
+    results = {}
+    for sg in (0, 2):
+        p = jax.tree_util.tree_map(lambda x: x.copy(), params)
+        mesh = make_mesh(dp=4, tp=2)
+        with mesh:
+            step, state, _ = make_train_step(
+                cfg, ocfg, p, mesh, use_pallas=False, stream_grads=sg,
+                zero_params=True,
+            )
+            db = shard_batch(batch, mesh)
+            losses = []
+            for _ in range(3):
+                state, m = step(state, db)
+                losses.append(float(m["loss"]))
+        dec = state.params["decoder"]
+        blocks = (
+            unchunk_blocks(
+                [dec["blocks_chunks"][str(i)] for i in range(len(ranges))]
+            )
+            if sg else dec["blocks"]
+        )
+        results[sg] = (losses, blocks)
+
+    l0, b0 = results[0]
+    l2, b2 = results[2]
+    np.testing.assert_allclose(l0, l2, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(b0), jax.tree_util.tree_leaves(b2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-6,
+        )

@@ -184,6 +184,32 @@ def chunk_blocks(blocks: Params, n_chunks: int) -> Tuple[Params, ...]:
     )
 
 
+def stream_chunk_ranges(
+    num_layers: int, n_chunks: int, tap_layers: Sequence[int] = ()
+) -> Tuple[Tuple[int, int], ...]:
+    """Layer ranges for the gradient-streaming layout: the uniform n_chunks
+    grid UNIONED with the tap-segment boundaries, so a distillation stage
+    (taps present) can stream per-segment dW while every tapped block output
+    still lands on a chunk boundary (decoder_forward records taps only
+    there)."""
+    n_chunks = max(1, min(n_chunks, num_layers))
+    ends = {
+        (i + 1) * num_layers // n_chunks for i in range(n_chunks)
+    } | {l + 1 for l in tap_layers}
+    ends = sorted(e for e in ends if 0 < e <= num_layers)
+    starts = [0] + ends[:-1]
+    return tuple(zip(starts, ends))
+
+
+def chunk_blocks_at(
+    blocks: Params, ranges: Sequence[Tuple[int, int]]
+) -> Tuple[Params, ...]:
+    """chunk_blocks with explicit layer ranges (see stream_chunk_ranges)."""
+    return tuple(
+        jax.tree_util.tree_map(lambda x: x[s:e], blocks) for s, e in ranges
+    )
+
+
 def unchunk_blocks(chunks: Sequence[Params]) -> Params:
     """Inverse of chunk_blocks (checkpoint export / HF interop)."""
     return jax.tree_util.tree_map(
@@ -209,22 +235,34 @@ def normalize_stream_layout(params: Params) -> Params:
 
 
 def _grads_to_pinned_host(tree):
-    """Move a cotangent tree to pinned host memory when the ambient mesh is a
-    single device (multi-chip SPMD cannot partition replicated memory-space
-    annotations; ZeRO sharding already bounds per-chip grads there). No-op
-    without a usable pinned_host space (CPU tests)."""
+    """Move a cotangent tree to pinned host memory so each segment's dW frees
+    its HBM the moment it is computed. Single device: a replicated pinned_host
+    NamedSharding. Multi-chip SPMD: a memory-SPACE transfer
+    (jax.memory.Space.Host) that keeps whatever ZeRO/TP partitioning GSPMD
+    assigned the cotangent — an explicit replicated annotation would be
+    unpartitionable there. No-op off TPU (CPU tests have no pinned_host)."""
     from visper_lm_tpu.ops.attention import _ambient_mesh
 
     mesh = _ambient_mesh()
-    if mesh is None or mesh.devices.size != 1:
+    if mesh is None:
         return tree
-    dev = mesh.devices.flat[0]
-    if getattr(dev, "platform", None) != "tpu":
+    if any(
+        getattr(d, "platform", None) != "tpu" for d in mesh.devices.flat
+    ):
         return tree
-    from jax.sharding import NamedSharding, PartitionSpec
+    if mesh.devices.size == 1:
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    ns = NamedSharding(mesh, PartitionSpec(), memory_kind="pinned_host")
-    return jax.tree_util.tree_map(lambda g: jax.device_put(g, ns), tree)
+        ns = NamedSharding(mesh, PartitionSpec(), memory_kind="pinned_host")
+        return jax.tree_util.tree_map(lambda g: jax.device_put(g, ns), tree)
+    import os
+
+    if os.environ.get("VISPER_STREAM_NO_HOST"):  # compile-bisect escape hatch
+        return tree
+    import jax.memory
+
+    host = jax.memory.Space.Host
+    return jax.tree_util.tree_map(lambda g: jax.device_put(g, host), tree)
 
 
 def host_grad_segment(fn):
@@ -540,7 +578,7 @@ def decoder_forward(
     quant_cache = isinstance(cache, QuantKVCache)
 
     quant_saves = remat and remat_policy == "save_mlp_q8"
-    moe_on = cfg.moe_experts > 0 and "moe_router" in params["blocks"]
+    moe_on = cfg.moe_experts > 0 and "moe_router" in params.get("blocks", {})
     _AUX_KEYS = ("lb_loss", "z_loss", "dropped_frac")
 
     def _aux_zero():
@@ -683,6 +721,59 @@ def decoder_forward(
         by_layer = {}
         h = inputs_embeds
         aux_acc = _aux_zero()
+        chunks = params.get("blocks_chunks")
+        if chunks is not None:
+            # gradient-streaming layout UNDER TAPS (the beyond-parity
+            # pretrain_full stage: distillation taps + full-model backward):
+            # each chunk is a separate param leaf scanned whole, its dW
+            # host-offloaded by host_grad_segment the moment the chunk's
+            # backward finishes. stream_chunk_ranges guarantees every tap
+            # boundary is a chunk end, so taps stay segment carries (zero
+            # extra activation memory, as in the stacked path below).
+            assert cache is None and not moe_on, (
+                "blocks_chunks is a training-only layout (no cache/MoE)"
+            )
+
+            def seg_fn(sub, carry):
+                return jax.lax.scan(body, carry, sub)[0]
+
+            seg = host_grad_segment(seg_fn)
+            subs = (
+                [chunks[k] for k in sorted(chunks, key=int)]
+                if isinstance(chunks, dict) else list(chunks)
+            )
+            layer = 0
+            carry = (h, aux_acc)
+            for sub in subs:
+                layer += jax.tree_util.tree_leaves(sub)[0].shape[0]
+                carry = seg(sub, carry)
+                if layer - 1 in boundaries:
+                    by_layer[layer - 1] = carry[0]
+            assert layer == cfg.num_layers, (
+                f"blocks_chunks covers {layer} layers, decoder has "
+                f"{cfg.num_layers}"
+            )
+            missing = [l for l in boundaries if l not in by_layer]
+            assert not missing, (
+                f"tap layers {missing} do not land on chunk boundaries — "
+                "build the layout with stream_chunk_ranges(num_layers, "
+                "n_chunks, tap_layers)"
+            )
+            h, aux_acc = carry
+            taps = tuple(by_layer[l] for l in tap_layers)
+            hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
+            out = {"hidden": hidden}
+            if compute_logits:
+                if cfg.tie_embeddings:
+                    logits = jnp.dot(
+                        hidden, params["embed_tokens"]["embedding"].T
+                    )
+                else:
+                    logits = linear(params["lm_head"], hidden)
+                out["logits"] = logits.astype(jnp.float32)
+            out["taps"] = taps
+            out["moe_aux"] = None
+            return out
         starts = [0] + [l + 1 for l in boundaries]
         ends = [l + 1 for l in boundaries] + [cfg.num_layers]
         for seg_start, seg_end in zip(starts, ends):

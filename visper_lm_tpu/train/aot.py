@@ -28,6 +28,7 @@ import argparse
 import dataclasses
 import functools
 import json
+import os
 import sys
 import time
 from typing import Any, Dict, Optional
@@ -100,6 +101,7 @@ def lower_flagship_step(
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
     scan_chunks: bool = True,
+    stream_grads: int = 0,
 ):
     """Lower the full train step with abstract (never materialized) arguments.
     Returns the jax Lowered object.
@@ -135,6 +137,31 @@ def lower_flagship_step(
     params_shape = jax.eval_shape(
         functools.partial(init_vlm, jax.random.PRNGKey(0), cfg)
     )
+    if stream_grads:
+        # gradient-streaming layout, built abstractly (ShapeDtypeStructs
+        # can't be sliced): decoder blocks become tap-aligned layer
+        # sub-stacks whose per-segment dW the backward emits to pinned host
+        # (models/decoder.host_grad_segment — multi-chip capable via the
+        # memory-space transfer)
+        from visper_lm_tpu.models.decoder import stream_chunk_ranges
+        from visper_lm_tpu.models.vlm import tap_layer_union
+
+        ranges = stream_chunk_ranges(
+            cfg.decoder.num_layers, stream_grads, tap_layer_union(cfg)
+        )
+        dec_shape = dict(params_shape["decoder"])
+        blocks = dec_shape.pop("blocks")
+        dec_shape["blocks_chunks"] = {
+            str(i): jax.tree_util.tree_map(
+                lambda x, n=(e - s): jax.ShapeDtypeStruct(
+                    (n,) + tuple(x.shape[1:]), x.dtype
+                ),
+                blocks,
+            )
+            for i, (s, e) in enumerate(ranges)
+        }
+        params_shape = dict(params_shape)
+        params_shape["decoder"] = dec_shape
     (
         mask, tx, trainable_s, frozen_s, opt_shape,
         train_sh, frozen_sh, opt_sh, state_sh,
@@ -188,6 +215,8 @@ def lower_flagship_step(
     step_fn = make_step_fn(
         tx, base_loss_fn, opt_sh, opt_cfg=opt_cfg,
         blockwise_staging=blockwise_staging,
+        grads_on_host=bool(stream_grads)
+        and not os.environ.get("VISPER_STREAM_NO_HOST"),
     )
 
     def attach(shapes, shardings):
@@ -315,6 +344,12 @@ def main(argv=None) -> int:
                         "(ChunkedHostArray layout; compile time linear in "
                         "chunk count) instead of the default lax.scan over a "
                         "stacked uniform-block layout — compile-time A/B")
+    parser.add_argument("--stream-grads", type=int, default=0,
+                        help="gradient-streaming layout with N tap-aligned "
+                        "layer chunks: each segment's dW is emitted to "
+                        "pinned host by the backward instead of letting all "
+                        "segments' grads coexist in HBM until the update "
+                        "(full-model stages only)")
     parser.add_argument("--mu-dtype", default=None)
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--shard-teachers", action="store_true",
@@ -370,6 +405,7 @@ def main(argv=None) -> int:
         blockwise_staging=not args.whole_tree_staging,
         block_bytes=args.block_bytes,
         scan_chunks=not args.unrolled_staging,
+        stream_grads=args.stream_grads,
     )
     t_lower = time.time() - t0
     print(f"# args per chip: {breakdown}", file=sys.stderr, flush=True)
@@ -394,6 +430,7 @@ def main(argv=None) -> int:
         "blockwise_staging": not args.whole_tree_staging,
         "block_bytes": args.block_bytes,
         "scan_chunks": not args.unrolled_staging,
+        "stream_grads": args.stream_grads,
         "mu_dtype": args.mu_dtype or "float32",
         "shard_teachers": args.shard_teachers,
         "lower_s": round(t_lower, 1),

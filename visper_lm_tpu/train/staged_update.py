@@ -419,16 +419,15 @@ def blockwise_staged_update(
         keys = list(mu_flat.keys())
 
         dev_any = None
-        if grads_on_host and opt_to_device is not None:
-            st = _label_state(opt_to_device.inner_states[label])
-            if st is not None:
-                for v in _flat_with_keys(st[0].mu).values():
-                    ns = v.chunks[0] if _is_chunked(v) else v
-                    if ns is not None:
-                        from jax.sharding import NamedSharding, PartitionSpec
+        if grads_on_host:
+            # memory-SPACE transfer: stages the host grad leaf back into HBM
+            # while preserving whatever partitioning it carries — replicated
+            # single-chip leaves and ZeRO/TP-sharded multi-chip leaves alike
+            # (an explicit NamedSharding target would have to reproduce each
+            # leaf's spec).
+            from jax import memory as _jax_memory
 
-                        dev_any = NamedSharding(ns.mesh, PartitionSpec())
-                        break
+            dev_any = _jax_memory.Space.Device
 
         def _g_to_dev(g, tok):
             # stage one host grad leaf to device behind the token chain

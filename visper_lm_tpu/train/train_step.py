@@ -378,16 +378,24 @@ def make_train_step(
     if stream_grads and "blocks_chunks" not in params.get("decoder", {}):
         # gradient-streaming layout: decoder blocks become stream_grads layer
         # sub-stacks whose per-segment dW is host-offloaded by the backward
-        # (models/decoder.chunk_blocks + host_grad_segment). Full-model
-        # stages only — a frozen decoder has no dW to stream. NOTE: at
-        # single-chip 3.8B scale the caller should pre-chunk and DROP the
-        # stacked tree itself (both layouts coexist transiently here).
-        from visper_lm_tpu.models.decoder import chunk_blocks
+        # (models/decoder.chunk_blocks_at + host_grad_segment). Full-model
+        # stages only — a frozen decoder has no dW to stream. Chunk ends are
+        # unioned with the distillation tap boundaries (pretrain_full) so
+        # tapped block outputs stay segment carries. NOTE: at single-chip
+        # 3.8B scale the caller should pre-chunk and DROP the stacked tree
+        # itself (both layouts coexist transiently here).
+        from visper_lm_tpu.models.decoder import (
+            chunk_blocks_at, stream_chunk_ranges,
+        )
+        from visper_lm_tpu.models.vlm import tap_layer_union
 
+        ranges = stream_chunk_ranges(
+            cfg.decoder.num_layers, stream_grads, tap_layer_union(cfg)
+        )
         dec_params = dict(params["decoder"])
         dec_params["blocks_chunks"] = {
             str(i): c for i, c in enumerate(
-                chunk_blocks(dec_params.pop("blocks"), stream_grads)
+                chunk_blocks_at(dec_params.pop("blocks"), ranges)
             )
         }
         params = dict(params)
@@ -466,8 +474,9 @@ def make_train_step(
         tx, base_loss_fn, opt_shardings, accum_steps=accum_steps,
         opt_cfg=opt_cfg, blockwise_staging=blockwise_staging,
         grads_on_host=bool(stream_grads)
-        and mesh.devices.size == 1
-        and mesh.devices.flat[0].platform == "tpu",
+        and all(
+            getattr(d, "platform", None) == "tpu" for d in mesh.devices.flat
+        ),
     )
 
     jitted = jax.jit(
