@@ -149,14 +149,20 @@ def measure(args, batch_size: int):
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     if args.stream_grads:
         # pre-chunk here and DROP the stacked blocks: at 3.8B on one chip the
-        # two layouts cannot coexist with everything else
-        from visper_lm_tpu.models.decoder import chunk_blocks
+        # two layouts cannot coexist with everything else. Chunk ends align
+        # with any distillation tap boundaries (required by decoder_forward).
+        from visper_lm_tpu.models.decoder import (
+            chunk_blocks_at, stream_chunk_ranges,
+        )
+        from visper_lm_tpu.models.vlm import tap_layer_union
 
+        ranges = stream_chunk_ranges(
+            cfg.decoder.num_layers, args.stream_grads, tap_layer_union(cfg)
+        )
         dec = dict(params["decoder"])
         dec["blocks_chunks"] = {
             str(i): c
-            for i, c in enumerate(chunk_blocks(dec.pop("blocks"),
-                                               args.stream_grads))
+            for i, c in enumerate(chunk_blocks_at(dec.pop("blocks"), ranges))
         }
         params = dict(params, decoder=dec)
         del dec

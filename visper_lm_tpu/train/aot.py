@@ -100,7 +100,7 @@ def lower_flagship_step(
     remat_policy: Optional[str] = None,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
-    scan_chunks: bool = True,
+    scan_chunks: bool = False,
     stream_grads: int = 0,
 ):
     """Lower the full train step with abstract (never materialized) arguments.
@@ -340,10 +340,15 @@ def main(argv=None) -> int:
                         help="streamed-update chunk size (f32-equivalent "
                         "bytes) — the held-block HBM granularity")
     parser.add_argument("--unrolled-staging", action="store_true",
-                        help="unroll the streamed update per block "
-                        "(ChunkedHostArray layout; compile time linear in "
-                        "chunk count) instead of the default lax.scan over a "
-                        "stacked uniform-block layout — compile-time A/B")
+                        help="(default since round 5) unroll the streamed "
+                        "update per block — kept as an explicit flag for "
+                        "command-line compatibility")
+    parser.add_argument("--scan-staging", action="store_true",
+                        help="lax.scan the streamed update over a stacked "
+                        "uniform-block layout (compile time O(1) in chunk "
+                        "count). CPU-parity-tested but ICEs / pathologically "
+                        "slow on the current real TPU compiler at 8B scale "
+                        "(docs/Scale8B.md) — opt-in A/B only")
     parser.add_argument("--stream-grads", type=int, default=0,
                         help="gradient-streaming layout with N tap-aligned "
                         "layer chunks: each segment's dW is emitted to "
@@ -404,7 +409,7 @@ def main(argv=None) -> int:
         remat_policy=args.remat_policy,
         blockwise_staging=not args.whole_tree_staging,
         block_bytes=args.block_bytes,
-        scan_chunks=not args.unrolled_staging,
+        scan_chunks=args.scan_staging,
         stream_grads=args.stream_grads,
     )
     t_lower = time.time() - t0
@@ -429,7 +434,7 @@ def main(argv=None) -> int:
         "offload_opt_state": args.offload_opt,
         "blockwise_staging": not args.whole_tree_staging,
         "block_bytes": args.block_bytes,
-        "scan_chunks": not args.unrolled_staging,
+        "scan_chunks": args.scan_staging,
         "stream_grads": args.stream_grads,
         "mu_dtype": args.mu_dtype or "float32",
         "shard_teachers": args.shard_teachers,

@@ -42,7 +42,12 @@ class _RecipeArgumentParser(argparse.ArgumentParser):
 def build_argparser() -> argparse.ArgumentParser:
     p = _RecipeArgumentParser(description=__doc__, fromfile_prefix_chars="@")
     p.add_argument("--stage", required=True,
-                   choices=["pretrain", "finetune", "vpt", "probe"])
+                   choices=["pretrain", "finetune", "vpt", "probe",
+                            "pretrain_full"],
+                   help="pretrain_full = BEYOND PARITY: the PT distillation "
+                        "losses with a FULL-model backward (continuing "
+                        "distillation through IFT), inexpressible in the "
+                        "reference")
     p.add_argument("--model", default="llama3", choices=["llama3", "phi3", "vicuna"])
     p.add_argument("--version", default=None, help="conversation template")
     p.add_argument("--vision-tower", default="clip", choices=["clip", "convnext"])
@@ -103,6 +108,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ZeRO-shard frozen params over data (8B PT fit lever)")
     p.add_argument("--shard-teachers", action="store_true",
                    help="shard frozen teacher weights over the model axis")
+    p.add_argument("--stream-grads", type=int, default=0,
+                   help="gradient-streaming layout: decoder blocks become N "
+                        "tap-aligned layer chunks whose per-segment dW the "
+                        "backward emits to pinned host (full-model stages "
+                        "on TPU; incompatible with gradient accumulation)")
     p.add_argument("--remat-policy", default=None,
                    help="remat save set: 'save_flash' | 'save_mlp' (gate+up, "
                         "skips the 8x-wide MLP recompute matmuls) | "
@@ -139,7 +149,7 @@ def build_vlm_config(args) -> Any:
     # plain IFT trainer (train_mem.py) with NTP-only loss on ALLaVA-Caption —
     # the PT checkpoint's heads are dropped at load (train.py instantiates
     # LlavaLlamaForCausalLM, not the Ola class)
-    if args.stage == "pretrain":
+    if args.stage in ("pretrain", "pretrain_full"):
         distill = C.make_distill_config(
             mode=args.mode,
             layer_indices=args.layer_indices,
@@ -240,7 +250,9 @@ def main() -> None:
     if args.smoke:
         from visper_lm_tpu.config import tiny_test_vlm
 
-        cfg = tiny_test_vlm(distill=args.stage in ("pretrain", "probe"))
+        cfg = tiny_test_vlm(
+            distill=args.stage in ("pretrain", "pretrain_full", "probe")
+        )
     else:
         cfg = build_vlm_config(args)
     if args.tokenizer == "fake-whitespace":
@@ -343,7 +355,7 @@ def main() -> None:
         warmup_ratio=args.warmup_ratio,
         total_steps=total_steps,
         stage={"pretrain": "pretrain", "finetune": "finetune", "vpt": "vpt",
-               "probe": "probe"}[args.stage],
+               "probe": "probe", "pretrain_full": "full"}[args.stage],
     )
     trainer_cfg = TrainerConfig(
         output_dir=args.output_dir,
@@ -360,6 +372,7 @@ def main() -> None:
         remat_policy=args.remat_policy,
         offload_opt_state=args.offload_opt_state,
         grad_accum_steps=args.gradient_accumulation_steps,
+        stream_grads=args.stream_grads,
     )
     train(
         cfg, opt_cfg, trainer_cfg, params, prefetched_iter,

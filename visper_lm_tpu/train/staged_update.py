@@ -158,19 +158,21 @@ def _axis0_unsharded(ns, mesh) -> bool:
 def plan_offload_layout(
     opt_shape, opt_shardings, mesh, *,
     block_bytes: int = 256 << 20, min_bytes: int = 1 << 20,
-    chunk: bool = True, scan_chunks: bool = True,
+    chunk: bool = True, scan_chunks: bool = False,
 ):
     """Transform (shape tree, sharding tree) for pinned-host offload:
     offloadable leaves get pinned_host memory kind; leaves larger than
     block_bytes with a free leading axis become blockwise-streamed nodes —
-    StackedHostArray (one (K, rows/K, ...) host array the update lax.scans
-    over; default) when the row count divides evenly, else ChunkedHostArray
-    (per-chunk host arrays, unrolled update). scan_chunks=False forces the
-    unrolled ChunkedHostArray layout (compile-time A/B: aot.py
-    --unrolled-staging). chunk=False keeps every offloaded leaf a
-    whole pinned-host array (the whole-tree-staging A/B path, whose update
-    is a plain device_put + tx.update — chunked leaves would break
-    optax tree math there). Returns (opt_shape, opt_shardings)."""
+    ChunkedHostArray (per-chunk host arrays, unrolled update; the DEFAULT:
+    the only formulation the current real TPU compiler handles at 8B scale,
+    docs/Scale8B.md "Scanned staging vs the real TPU compiler").
+    scan_chunks=True opts into StackedHostArray (one (K, rows/K, ...) host
+    array the update lax.scans over — compile time O(1) in chunk count,
+    CPU-parity-tested, but ICEs or compiles pathologically slowly on TPU
+    today). chunk=False keeps every offloaded leaf a whole pinned-host
+    array (the whole-tree-staging A/B path, whose update is a plain
+    device_put + tx.update — chunked leaves would break optax tree math
+    there). Returns (opt_shape, opt_shardings)."""
 
     def leaf(s, ns):
         if s is None or isinstance(s, optax.MaskedNode):

@@ -155,7 +155,7 @@ def plan_train_shardings(
     force_offload: bool = False,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
-    scan_chunks: bool = True,
+    scan_chunks: bool = False,
 ):
     """Sharding plan for the train state. `params` may be real arrays OR
     ShapeDtypeStructs (the AOT compile-only path, train/aot.py) — only .shape
@@ -223,7 +223,7 @@ def plan_train_shardings(
             from visper_lm_tpu.train.staged_update import plan_offload_layout
 
             # block_bytes trades HBM peak against per-block host-link
-            # latency; with the default scanned layout (scan_chunks=True) the
+            # latency; with the scanned layout (scan_chunks=True) the
             # update's HLO compiles once per leaf shape, so chunk count no
             # longer costs compile time (the unrolled A/B path is linear in
             # it). docs/Scale8B.md carries the measured A/B.
@@ -363,7 +363,7 @@ def make_train_step(
     accum_steps: int = 1,
     blockwise_staging: bool = True,
     block_bytes: int = 256 << 20,
-    scan_chunks: bool = True,
+    scan_chunks: bool = False,
     stream_grads: int = 0,
     donate_params: bool = False,
 ) -> Tuple[Callable, TrainState, Any]:

@@ -57,6 +57,10 @@ class TrainerConfig:
     # pretrain.sh:40): N host batches are stacked into one device step that
     # scans fwd+bwd over them and applies a single optimizer update
     grad_accum_steps: int = 1
+    # gradient-streaming layout (models/decoder.host_grad_segment): decoder
+    # blocks as N tap-aligned chunks, per-segment dW emitted to pinned host.
+    # Full-model stages on TPU only; excludes grad_accum_steps > 1.
+    stream_grads: int = 0
     resume: bool = True
     # device batches buffered ahead; 1 still overlaps transfer with compute while
     # keeping only one extra batch resident (matters at HBM-edge model sizes)
@@ -161,6 +165,7 @@ def train(
             shard_teachers=trainer_cfg.shard_teachers,
             remat_policy=trainer_cfg.remat_policy,
             accum_steps=trainer_cfg.grad_accum_steps,
+            stream_grads=trainer_cfg.stream_grads,
         )
 
         start_step = 0
