@@ -74,3 +74,23 @@ def test_abstract_lowering_finetune_stage():
     )
     pt_report = memory_report(pt_lowered.compile(), 8)
     assert report["arguments_gib"] > pt_report["arguments_gib"]
+
+
+def test_abstract_lowering_pretrain_full_stream_grads():
+    """The pretrain_full fit configuration (docs/Scale8B.md round 5): distill
+    taps + full-model backward + tap-aligned gradient-streaming layout, built
+    ABSTRACTLY (ShapeDtypeStruct chunking) — lowers and compiles over the
+    virtual mesh, and the decoder state is actually chunked."""
+    cfg = tiny_test_vlm(distill=True)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    lowered, breakdown = lower_flagship_step(
+        cfg, mesh, batch_size=8, seq_len=64,
+        with_teachers=False, zero_params=True, use_pallas=False,
+        stage="pretrain_full", stream_grads=2,
+    )
+    compiled = lowered.compile()
+    report = memory_report(compiled, 8)
+    assert report["peak_hbm_gib"] is not None and report["peak_hbm_gib"] > 0
+    txt = lowered.as_text()
+    assert "sharding" in txt
