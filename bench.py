@@ -200,6 +200,10 @@ def measure(args, batch_size: int):
         # keeping both trees alive is the difference between fitting and not
         del params
         dbatch = shard_batch(batch, mesh)
+        lowered = (
+            step_fn.lower(state, dbatch)
+            if getattr(args, "cost_analysis", False) else None
+        )
         state, metrics = step_fn(state, dbatch)  # warmup / compile
         loss = float(metrics["loss"])            # host sync
 
@@ -208,6 +212,17 @@ def measure(args, batch_size: int):
             state, metrics = step_fn(state, dbatch)
         loss = float(metrics["loss"])
         dt = (time.perf_counter() - t0) / args.steps
+
+        cost = None
+        if lowered is not None:
+            # hits the executable cache populated by the warmup step
+            ca = lowered.compile().cost_analysis() or {}
+            cost = {
+                "bytes_accessed_gib": round(
+                    float(ca.get("bytes accessed", 0.0)) / 1024 ** 3, 2
+                ),
+                "compiled_flops_per_step": float(ca.get("flops", 0.0)),
+            }
 
     assert np.isfinite(loss), f"non-finite loss {loss}"
     value = batch_size / dt
@@ -232,6 +247,14 @@ def measure(args, batch_size: int):
         "batch": batch_size,
         "seq": seq_len,
     }
+    if cost is not None:
+        extras.update(cost)
+        if cost["bytes_accessed_gib"]:
+            # achieved HBM bandwidth vs the v5e ceiling (~819 GB/s): the
+            # evidence for whether a shape is bandwidth- or compute-bound
+            extras["achieved_hbm_gbps"] = round(
+                cost["bytes_accessed_gib"] * 1.073741824 / dt, 1
+            )
     return value, extras
 
 
@@ -266,6 +289,11 @@ def main():
                         "for --stage finetune on one 16 GB chip, where f32 "
                         "moments for 3.8B trainables (~14 GiB) can't live in "
                         "HBM next to params+grads")
+    parser.add_argument("--cost-analysis", action="store_true",
+                        help="report the compiled step's bytes-accessed and "
+                        "achieved HBM bandwidth (compiler cost model / "
+                        "measured step time) — the batch-sweep evidence for "
+                        "bandwidth- vs compute-bound shapes")
     parser.add_argument("--steps", type=int, default=8)
     # default = the measured per-chip sweet spot (B4 saturates the MXU at
     # T1024; B8 fits since round 2 but adds HBM pressure for no gain)

@@ -488,6 +488,13 @@ def make_train_step(
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         return jitted(state, frozen, teacher_params, batch)
 
+    def lower(state: TrainState, batch: Dict[str, jax.Array]):
+        """Lowered (pre-execution) step for memory/cost introspection
+        (bench.py --cost-analysis). Shares jit's executable cache with
+        step(), so .compile() after a step() call is a cache hit."""
+        return jitted.lower(state, frozen, teacher_params, batch)
+
+    step.lower = lower
     return step, state, state_shardings
 
 
