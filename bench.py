@@ -305,10 +305,12 @@ def main():
                         help="precomputed random targets instead of in-jit teachers")
     parser.add_argument("--teacher-microbatch", type=int, default=2,
                         help="teacher lax.map chunk size (0 disables chunking)")
-    # save_gate measured best on v5e at the flagship shape (4.81 vs 4.63 ex/s
-    # full-remat; exact numerics). save_mlp/save_qkv_mlp OOM at B4 (16.76G /
-    # 19.54G of 15.75G); save_mlp_q8 fits but the per-token int8 round-trips
-    # cost more than the skipped matmuls (4.49 ex/s, measured).
+    # save_gate measured best on v5e at the flagship shape (4.83 vs 4.65
+    # save_flash vs 4.63 full-remat; exact numerics). save_mlp/save_qkv_mlp/
+    # save_gate_flash OOM at B4 (16.76G / 19.54G / ResourceExhausted of
+    # 15.75G); save_mlp_q8 fits but the per-token int8 round-trips cost more
+    # than the skipped matmuls (4.49 ex/s, measured). At B8 even save_gate
+    # OOMs the compile — full remat is B8's only fitting policy (4.39 ex/s).
     parser.add_argument("--remat-policy", default="save_gate",
                         help="remat save set (models/decoder.py _remat_policy); "
                         "'none' for full per-block remat")

@@ -508,6 +508,13 @@ def _remat_policy(name: Optional[str]):
         # half of save_mlp (fits where save_mlp OOMs): skips the gate-matmul
         # recompute only, exact numerics
         return jax.checkpoint_policies.save_only_these_names("mlp_gate")
+    if name == "save_gate_flash":
+        # gate + flash outputs: skips the gate matmul AND the flash-forward
+        # recompute — (B,T,mlp) + (B,T,N,H) bf16 residuals per layer, the
+        # in-between point of save_gate and save_mlp
+        return jax.checkpoint_policies.save_only_these_names(
+            "mlp_gate", "flash_out"
+        )
     if name == "save_mlp_q8":
         # int8 saved residuals: the bytes of save_gate, the skipped FLOPs of
         # save_mlp (see _quant_saved)
