@@ -120,3 +120,21 @@ def test_viz_handler_renders_manifest(model, tmp_path):
     assert handlers["viz"]("what is here?", None) == {}
     manifest = handlers["viz"]("what is here?", img)
     assert isinstance(manifest, dict) and manifest
+
+
+def test_chat_handler_surfaces_worker_errors(model, tmp_path):
+    """A model.chat failure inside the streaming worker thread must re-raise
+    in the handler (the synchronous handler's behavior) — not render a
+    silently-empty chat turn."""
+    gr = _stub_gradio()
+
+    class _Boom:
+        def chat(self, *a, **kw):
+            raise RuntimeError("decode exploded")
+
+    _, handlers = build_ui(_Boom(), gr, out_dir=str(tmp_path))
+    img = PILImage.fromarray(
+        np.zeros((8, 8, 3), np.uint8)
+    )
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(handlers["chat"]("hi", [], img))

@@ -637,3 +637,32 @@ def test_admission_hysteresis_pools_dispatches(setup):
     )
     # same requests prefilled either way; pooling only changes the grouping
     assert pooled.stats["prefills"] == eager.stats["prefills"]
+
+
+def test_engine_normalizes_stream_grads_layout(setup):
+    """A stream_grads-trained tree (decoder carries 'blocks_chunks', no
+    'blocks') must serve: the engine normalizes the layout at construction
+    (same boundary rule as generate.Generator / checkpoint.hf_export) and
+    produces the exact tokens of the stacked tree."""
+    cfg, params, plans, images = setup
+    from visper_lm_tpu.models.decoder import (
+        chunk_blocks_at, stream_chunk_ranges,
+    )
+
+    ranges = stream_chunk_ranges(cfg.decoder.num_layers, 2)
+    dec = dict(params["decoder"])
+    dec["blocks_chunks"] = {
+        str(i): c for i, c in enumerate(
+            chunk_blocks_at(dec.pop("blocks"), ranges)
+        )
+    }
+    chunked = dict(params)
+    chunked["decoder"] = dec
+
+    expected = _reference_tokens(cfg, params, plans[0], images[0], 5)
+    eng = Engine(chunked, cfg, EngineConfig(num_slots=1, max_len=512))
+    finished = eng.run(
+        [Request(plan=plans[0], images=images[0][None],
+                 max_new_tokens=5, uid=0)]
+    )
+    assert finished[0].output_ids == expected

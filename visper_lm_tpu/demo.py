@@ -354,11 +354,14 @@ def build_ui(model, gr, out_dir: str = "demo_out", decoders=None,
             return
         q: "queue.Queue" = queue.Queue()
         done = object()
+        err: list = []
 
         def _run():
             try:
                 model.chat([message], [image], max_new_tokens=max_new_tokens,
                            stream_callback=q.put)
+            except BaseException as e:  # re-raised on the handler side
+                err.append(e)
             finally:
                 q.put(done)
 
@@ -370,6 +373,10 @@ def build_ui(model, gr, out_dir: str = "demo_out", decoders=None,
                 break
             text += piece
             yield text
+        if err:
+            # surface worker failures to Gradio (the synchronous handler's
+            # behavior) instead of rendering a silently-empty turn
+            raise err[0]
         if not text:
             yield text  # empty generation still resolves the UI turn
 

@@ -767,31 +767,19 @@ def decoder_forward(
                 "n_chunks, tap_layers)"
             )
             h, aux_acc = carry
-            taps = tuple(by_layer[l] for l in tap_layers)
-            hidden = rmsnorm(params["final_norm"], h, cfg.norm_eps)
-            out = {"hidden": hidden}
-            if compute_logits:
-                if cfg.tie_embeddings:
-                    logits = jnp.dot(
-                        hidden, params["embed_tokens"]["embedding"].T
-                    )
-                else:
-                    logits = linear(params["lm_head"], hidden)
-                out["logits"] = logits.astype(jnp.float32)
-            out["taps"] = taps
-            out["moe_aux"] = None
-            return out
-        starts = [0] + [l + 1 for l in boundaries]
-        ends = [l + 1 for l in boundaries] + [cfg.num_layers]
-        for seg_start, seg_end in zip(starts, ends):
-            if seg_start == seg_end:
-                continue
-            (h, aux_acc), _ = jax.lax.scan(
-                body_idx, (h, aux_acc),
-                jnp.arange(seg_start, seg_end, dtype=jnp.int32),
-            )
-            if seg_end - 1 in boundaries:
-                by_layer[seg_end - 1] = h
+            # falls through to the shared final-norm/logits tail below
+        else:
+            starts = [0] + [l + 1 for l in boundaries]
+            ends = [l + 1 for l in boundaries] + [cfg.num_layers]
+            for seg_start, seg_end in zip(starts, ends):
+                if seg_start == seg_end:
+                    continue
+                (h, aux_acc), _ = jax.lax.scan(
+                    body_idx, (h, aux_acc),
+                    jnp.arange(seg_start, seg_end, dtype=jnp.int32),
+                )
+                if seg_end - 1 in boundaries:
+                    by_layer[seg_end - 1] = h
         # tuple, NOT jnp.stack: the heads index taps per layer immediately, and a
         # stacked (num_taps, B, T, D) buffer is a pure extra materialization
         # (~1 GiB at B8xT1024x10 taps); the per-layer values are alive anyway as

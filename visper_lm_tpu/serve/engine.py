@@ -176,6 +176,13 @@ class Engine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.tokenizer = tokenizer
+        # a stream_grads-trained tree carries 'blocks_chunks' instead of
+        # 'blocks' (train_step.py); inference paths read 'blocks' — rebuild
+        # the stacked layout at the serving boundary (same normalization as
+        # generate.Generator / checkpoint.hf_export).
+        from visper_lm_tpu.models.decoder import normalize_stream_layout
+
+        params = normalize_stream_layout(params)
         self.params = params
         if ecfg.weight_quant:
             from visper_lm_tpu.utils.param import (
@@ -953,7 +960,13 @@ class Engine:
             # free slots can hold, let decoding continue and pool retirements
             head = self.queue[0]
             n_compat = 1
-            cap = min(len(self.queue), max(self.ecfg.admit_group, 1))
+            # cap at num_slots so the hoped-for group is attainable when all
+            # slots retire (admit_group may exceed the engine's capacity);
+            # the defer decision itself is unchanged while occupied > 0
+            # (free < num_slots <= cap either way) — this bounds the
+            # compatibility scan and keeps the target honest
+            cap = min(len(self.queue), max(self.ecfg.admit_group, 1),
+                      self.ecfg.num_slots)
             while (n_compat < cap
                    and self._group_compatible(head, self.queue[n_compat])):
                 n_compat += 1

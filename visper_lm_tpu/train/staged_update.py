@@ -262,14 +262,17 @@ def init_opt_state_offloaded(tx, trainable, opt_shape, opt_shardings):
                 src = param_for(path_key)
                 if src is not None:
                     # per-chunk jitted slice+cast keeps device temps at one
-                    # block; the stack happens in host RAM
-                    pieces = []
-                    for i in range(K):
-                        cast = jax.jit(
-                            lambda x, a=i * r, b=(i + 1) * r, dt=shp.dtype:
-                            jax.lax.slice_in_dim(x, a, b, axis=0).astype(dt)
-                        )
-                        pieces.append(np.asarray(cast(src)))
+                    # block; the stack happens in host RAM. The block start
+                    # is a TRACED operand (dynamic_slice), so all K blocks
+                    # share one executable instead of compiling K variants
+                    # with baked-in bounds.
+                    cast = jax.jit(
+                        lambda x, start, n=r, dt=shp.dtype:
+                        jax.lax.dynamic_slice_in_dim(
+                            x, start, n, axis=0
+                        ).astype(dt)
+                    )
+                    pieces = [np.asarray(cast(src, i * r)) for i in range(K)]
                     return StackedHostArray(
                         jax.device_put(np.stack(pieces), sns)
                     )
@@ -281,15 +284,22 @@ def init_opt_state_offloaded(tx, trainable, opt_shape, opt_shardings):
             if "master" in path_key:
                 src = param_for(path_key)
                 start = 0
+                # one jitted slice+cast per distinct (rows, sharding) — the
+                # start is traced, so uniform chunks share an executable
+                # (only a differing tail chunk compiles a second one)
+                casts = {}
                 for cs, cns in zip(s.chunks, ns.chunks):
                     n = cs.shape[0]
-                    cast = jax.jit(
-                        lambda x, a=start, b=start + n, dt=cs.dtype: jax.lax.slice_in_dim(
-                            x, a, b, axis=0
-                        ).astype(dt),
-                        out_shardings=cns,
-                    )
-                    chunks.append(cast(src))
+                    key = (n, cns)
+                    if key not in casts:
+                        casts[key] = jax.jit(
+                            lambda x, a, n=n, dt=cs.dtype:
+                            jax.lax.dynamic_slice_in_dim(
+                                x, a, n, axis=0
+                            ).astype(dt),
+                            out_shardings=cns,
+                        )
+                    chunks.append(casts[key](src, start))
                     start += n
             else:
                 for cs, cns in zip(s.chunks, ns.chunks):

@@ -470,13 +470,22 @@ def make_train_step(
         "gradient streaming composes with single-microbatch steps only "
         "(the f32 accumulator would re-materialize the full grad tree)"
     )
+    grads_on_host = bool(stream_grads) and all(
+        getattr(d, "platform", None) == "tpu" for d in mesh.devices.flat
+    )
+    # host-resident grads can only be consumed by the blockwise staged update
+    # (the plain path's global_norm/tx.update over pinned-host leaves is
+    # mixed-memory-space math — see make_step_fn). On CPU meshes the
+    # pinned-host put is a no-op so the combination is harmless there.
+    assert not grads_on_host or (offload_opt_state and blockwise_staging), (
+        "--stream-grads on TPU requires offload_opt_state=True and "
+        "blockwise_staging=True: the streamed dW lands in pinned host and "
+        "only the blockwise staged update can stage it back"
+    )
     step_fn = make_step_fn(
         tx, base_loss_fn, opt_shardings, accum_steps=accum_steps,
         opt_cfg=opt_cfg, blockwise_staging=blockwise_staging,
-        grads_on_host=bool(stream_grads)
-        and all(
-            getattr(d, "platform", None) == "tpu" for d in mesh.devices.flat
-        ),
+        grads_on_host=grads_on_host,
     )
 
     jitted = jax.jit(
