@@ -8,8 +8,10 @@ and inherits HF's beam implementation; this is the TPU-native equivalent:
     call that (1) reorders cache rows to each surviving beam's parent with one
     gather on the batch axis (axis 2 of the (L, S, B, Nkv, H) layout,
     models/decoder.py:69), (2) advances all beams one token, and (3) selects
-    the top 2·B of the B·V candidate continuations with lax.top_k — only 2·B
-    scalars per step cross the host boundary, never a (B, V) distribution;
+    the top max(2, 1+n_eos)·B of the B·V candidate continuations with
+    lax.top_k (HF's width rule: with k eos ids the top-2B could be all EOS
+    and starve the live beams) — only those few scalars per step cross the
+    host boundary, never a (B, V) distribution;
   * hypothesis bookkeeping (EOS candidates retiring to the finished set, the
     early-stopping test) is tiny host logic with HF's exact semantics:
     candidates are ranked sorted, an EOS candidate only retires when its rank
@@ -62,15 +64,24 @@ class BeamSearchDecoder:
         self.length_penalty = float(length_penalty)
         self.max_len = -(-max_len // 128) * 128
         self.cache_dtype = cache_dtype
+        # candidates per beam: HF's max(2, 1 + n_eos) — with k eos ids the
+        # top-2B could otherwise be ALL eos (every parent's eos variants) and
+        # starve the B live beams. Widened on demand by generate().
+        self._cand_factor = 2
+        self._build_jits()
+
+    def _build_jits(self):
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(4,))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, logp, beam_scores):
-        """Top 2B of the B*V candidate continuations (HF takes 2B so EOS
-        retirements can't starve the B live beams)."""
+        """Top (cand_factor*B) of the B*V candidate continuations (HF takes
+        max(2, 1+n_eos)*B so EOS retirements can't starve the B live beams)."""
         flat = (beam_scores[:, None] + logp).reshape(-1)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * self.num_beams)
+        top_scores, top_idx = jax.lax.top_k(
+            flat, self._cand_factor * self.num_beams
+        )
         v = self.cfg.vocab_size
         return top_scores, top_idx // v, top_idx % v  # (scores, parents, tokens)
 
@@ -109,6 +120,12 @@ class BeamSearchDecoder:
         assert len(prompt) + max_new_tokens <= self.max_len, "raise max_len"
         eos = set(map(int, eos_token_ids))
         B = self.num_beams
+        need = max(2, 1 + len(eos))
+        if need > self._cand_factor:
+            # wider top-k so the candidate list can't be exhausted by EOS
+            # rows alone; re-wrap the jits (the width is a static shape)
+            self._cand_factor = need
+            self._build_jits()
 
         cache = dec.init_kv_cache(self.cfg, B, self.max_len,
                                   dtype=self.cache_dtype)
@@ -132,7 +149,7 @@ class BeamSearchDecoder:
             gen_len = step + 1
 
             next_rows: List[Tuple[float, int, int]] = []
-            for rank in range(2 * B):
+            for rank in range(len(scores)):
                 s, par, tok = float(scores[rank]), int(parents[rank]), int(tokens[rank])
                 if tok in eos:
                     # HF rule: an EOS candidate ranked past the top B can
